@@ -1,0 +1,19 @@
+from .schedules import (  # noqa: F401
+    NoiseSchedule,
+    make_beta_schedule,
+    make_schedule,
+    apply_snr_shift,
+    add_noise,
+    velocity_from_x0_eps,
+    pred_x0_from_model_output,
+    epsilon_from_model_output,
+)
+from .ddpm import ddpm_step, ddpm_sample  # noqa: F401
+from .plms import (  # noqa: F401
+    PLMSState,
+    pndm_timesteps,
+    pndm_start_points,
+    plms_init_state,
+    plms_step,
+    plms_denoise,
+)

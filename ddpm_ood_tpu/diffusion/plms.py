@@ -1,0 +1,200 @@
+"""PNDM/PLMS sampler as a stateless scan with an epsilon-history ring buffer.
+
+Parity target: monai-generative PNDMScheduler with skip_prk_steps=True (pure PLMS),
+as used by the reference reconstruction pipeline (src/trainers/reconstruct.py:98-157)
+and its step-count accounting (ood_detection.py:64-71):
+
+  - `set_timesteps(n)` grid: ascending (arange(n) * (T//n)), then the PLMS ordering
+    [ts[:-1], ts[-2:-1], ts[-1:]][::-1] — descending with the second-largest timestep
+    duplicated (101 entries for n=100).
+  - warm-up state machine: 1st-order Euler at counter==0, a Heun-style re-do of the
+    first step at counter==1 (re-uses the saved start sample, does NOT append to the
+    history), then 2nd/3rd/4th-order Adams-Bashforth on the epsilon history:
+        2: (3 e_k - e_{k-1}) / 2
+        3: (23 e_k - 16 e_{k-1} + 5 e_{k-2}) / 12
+        4: (55 e_k - 59 e_{k-1} + 37 e_{k-2} - 9 e_{k-3}) / 24
+  - transfer formula (PNDM paper eq. 11):
+        x_prev = sqrt(acp_prev/acp_t) * x
+                 - (acp_prev - acp_t) * eps / (acp_t*sqrt(bp_prev) + sqrt(acp_t*bp_t*acp_prev))
+
+Design deviation (documented): the reference constructs ONE scheduler per data batch
+and lets the ets history/counter leak across consecutive t_start trajectories
+(src/trainers/reconstruct.py:98 + 128-157). Here every trajectory starts with a fresh
+history — mathematically the intended PLMS warm-up, and the property that makes the
+multi-t_start sweep a single vmapped device program (see recon/sweep.py).
+
+TPU-first: state is a pytree (ring buffer + scalars); one trajectory = one
+`lax.scan`; per-lane "active" masking lets many different-length trajectories share a
+single scan with static shapes (no dynamic trip counts under jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import NoiseSchedule, epsilon_from_model_output
+
+
+def pndm_timesteps(num_train_timesteps: int = 1000, num_inference_steps: int = 100) -> np.ndarray:
+    """Descending PLMS timestep grid incl. the duplicated second-largest entry.
+
+    Matches monai-generative PNDMScheduler.set_timesteps with skip_prk_steps=True
+    (101 entries for 1000/100: [990, 980, 980, 970, ..., 10, 0]).
+    """
+    step_ratio = num_train_timesteps // num_inference_steps
+    ts = (np.arange(0, num_inference_steps) * step_ratio).round().astype(np.int64)
+    plms = np.concatenate([ts[:-1], ts[-2:-1], ts[-1:]])[::-1]
+    return plms.astype(np.int32)
+
+
+def pndm_start_points(timesteps_desc: np.ndarray, inference_skip_factor: int = 1) -> np.ndarray:
+    """Reconstruction start timesteps: reversed(timesteps)[1::skip_factor].
+
+    (reference src/trainers/reconstruct.py:120). Ascending; includes the duplicate
+    second-largest timestep when skip_factor divides its position.
+    """
+    return np.ascontiguousarray(timesteps_desc[::-1][1::inference_skip_factor])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PLMSState:
+    """Carry for the PLMS scan. `ets` is a (4, *sample) ring buffer, index 3 newest."""
+
+    x: jnp.ndarray
+    ets: jnp.ndarray  # (4, *x.shape)
+    counter: jnp.ndarray  # () int32 — number of active steps taken
+    cur_sample: jnp.ndarray  # saved start sample for the counter==1 re-do
+
+    def tree_flatten(self):
+        return (self.x, self.ets, self.counter, self.cur_sample), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def plms_init_state(x0_noised: jnp.ndarray) -> PLMSState:
+    return PLMSState(
+        x=x0_noised,
+        ets=jnp.zeros((4,) + x0_noised.shape, dtype=x0_noised.dtype),
+        counter=jnp.zeros((), dtype=jnp.int32),
+        cur_sample=jnp.zeros_like(x0_noised),
+    )
+
+
+def _transfer(
+    sched: NoiseSchedule,
+    sample: jnp.ndarray,
+    timestep: jnp.ndarray,
+    prev_timestep: jnp.ndarray,
+    eps: jnp.ndarray,
+) -> jnp.ndarray:
+    """PNDM eq. 11 transfer x_t -> x_{t_prev} given an (averaged) epsilon."""
+    acp = sched.alphas_cumprod
+    final_acp = acp[0]  # set_alpha_to_one=False
+    acp_t = acp[jnp.clip(timestep, 0, sched.num_train_timesteps - 1)]
+    acp_prev = jnp.where(
+        prev_timestep >= 0,
+        acp[jnp.clip(prev_timestep, 0, sched.num_train_timesteps - 1)],
+        final_acp,
+    )
+    bp_t = 1.0 - acp_t
+    bp_prev = 1.0 - acp_prev
+    sample_coeff = jnp.sqrt(acp_prev / acp_t)
+    denom = acp_t * jnp.sqrt(bp_prev) + jnp.sqrt(acp_t * bp_t * acp_prev)
+    return sample_coeff * sample - (acp_prev - acp_t) * eps / denom
+
+
+def plms_step(
+    sched: NoiseSchedule,
+    state: PLMSState,
+    model_output: jnp.ndarray,
+    t: jnp.ndarray,
+    step_ratio: int,
+    active: jnp.ndarray | bool = True,
+) -> PLMSState:
+    """One PLMS update. With `active=False` the state is passed through unchanged,
+    which is how variable-length trajectories share one fixed-trip-count scan."""
+    eps = epsilon_from_model_output(sched, model_output, state.x, t)
+    counter = state.counter
+
+    pushed_ets = jnp.concatenate([state.ets[1:], eps[None]], axis=0)
+
+    # Order selector: 0 -> Euler, 1 -> Heun re-do, 2/3/4 -> AB(order).
+    branch = jnp.clip(counter, 0, 4)
+
+    def order1(_):
+        # counter == 0: out = eps, save start sample, step t -> t - ratio.
+        return eps, state.x, t, t - step_ratio, pushed_ets, state.x
+
+    def heun(_):
+        # counter == 1: average with previous eps, restart from the saved sample,
+        # re-do the t+ratio -> t step. History NOT appended.
+        out = (eps + state.ets[3]) / 2.0
+        return out, state.cur_sample, t + step_ratio, t, state.ets, state.cur_sample
+
+    def make_ab(order: int):
+        coeffs = {
+            2: (3.0 / 2.0, -1.0 / 2.0, 0.0, 0.0),
+            3: (23.0 / 12.0, -16.0 / 12.0, 5.0 / 12.0, 0.0),
+            4: (55.0 / 24.0, -59.0 / 24.0, 37.0 / 24.0, -9.0 / 24.0),
+        }[order]
+
+        def ab(_):
+            out = (
+                coeffs[0] * pushed_ets[3]
+                + coeffs[1] * pushed_ets[2]
+                + coeffs[2] * pushed_ets[1]
+                + coeffs[3] * pushed_ets[0]
+            )
+            return out, state.x, t, t - step_ratio, pushed_ets, state.cur_sample
+
+        return ab
+
+    out, sample, t_used, t_prev, new_ets, new_cur = jax.lax.switch(
+        branch, [order1, heun, make_ab(2), make_ab(3), make_ab(4)], None
+    )
+
+    new_x = _transfer(sched, sample, t_used, t_prev, out)
+
+    active = jnp.asarray(active)
+    sel = lambda new, old: jnp.where(active, new, old)  # noqa: E731
+    return PLMSState(
+        x=sel(new_x, state.x),
+        ets=sel(new_ets, state.ets),
+        counter=jnp.where(active, counter + 1, counter),
+        cur_sample=sel(new_cur, state.cur_sample),
+    )
+
+
+def plms_denoise(
+    sched: NoiseSchedule,
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x_start: jnp.ndarray,
+    timesteps_desc: jnp.ndarray,
+    t_start: jnp.ndarray,
+    num_inference_steps: int,
+) -> jnp.ndarray:
+    """Denoise x_start (noised to t_start) over {timesteps <= t_start} in one scan.
+
+    `model_fn(x, t_batch)` as in ddpm_sample. Equivalent to the reference inner loop
+    at src/trainers/reconstruct.py:149-157 with a fresh scheduler per trajectory.
+    """
+    step_ratio = sched.num_train_timesteps // num_inference_steps
+    batch = x_start.shape[0]
+
+    def body(state, t):
+        active = t <= t_start
+        t_batch = jnp.full((batch,), t, dtype=jnp.int32)
+        model_output = model_fn(state.x, t_batch)
+        state = plms_step(sched, state, model_output, t, step_ratio, active=active)
+        return state, None
+
+    state, _ = jax.lax.scan(body, plms_init_state(x_start), timesteps_desc)
+    return state.x

@@ -1,0 +1,275 @@
+"""Time-conditioned diffusion UNet (2D/3D) in Flax, channel-last, bf16-ready.
+
+Capability parity with monai-generative's DiffusionModelUNet as configured by the
+reference (base.py:65-88): "small" = channels (128,256,256), attention only at the
+deepest level, 1 res-block/level, num_head_channels 256; "big" = (256,512,768),
+attention everywhere, 2 res-blocks. Sinusoidal timestep embedding (dim=ch[0]) -> 2-layer
+SiLU MLP (4*ch[0]); ResNet blocks = GroupNorm(32)+SiLU+Conv3 with additive time-emb;
+spatial self-attention; strided-conv downsample; nearest-upsample+conv; zero-init
+output conv.
+
+TPU-first choices (not a torch translation):
+  - channel-LAST layout (NHWC / NDHWC) so convs map directly onto the MXU without
+    transposes; callers using reference-style channel-first data transpose at the edge.
+  - `dtype` controls compute precision (bf16 on TPU); params and GroupNorm statistics
+    stay f32. No GradScaler needed (reference base.py:122) — bf16 has fp32 range.
+  - attention is plain XLA einsum attention: sequence lengths here are tiny (the
+    reference only attends at the most-downsampled level), so a flash kernel would
+    lose to XLA fusion; 3D latents use the same flattened-spatial path.
+  - everything is shape-static and jit/scan/vmap-safe (used inside the sampler scans).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embedding, sin-then-cos, matching monai-generative's convention."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        spatial = x.ndim - 2
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm1"
+        )(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(
+            self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv1"
+        )(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            nn.silu(temb.astype(jnp.float32)).astype(self.dtype)
+        )
+        h = h + t.reshape(t.shape[:1] + (1,) * spatial + t.shape[1:])
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm2"
+        )(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(
+            self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv2"
+        )(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1,) * spatial, dtype=self.dtype, name="skip_connection"
+            )(x)
+        return (x + h).astype(self.dtype)
+
+
+class AttentionBlock(nn.Module):
+    num_head_channels: int = 256
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        batch = x.shape[0]
+        spatial_shape = x.shape[1:-1]
+        ch = x.shape[-1]
+        num_heads = max(ch // self.num_head_channels, 1)
+        head_dim = ch // num_heads
+
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm"
+        )(x).astype(self.dtype)
+        h = h.reshape(batch, -1, ch)  # (B, N, C)
+        q = nn.Dense(ch, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(ch, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(ch, dtype=self.dtype, name="to_v")(h)
+
+        def split(a):
+            return a.reshape(batch, -1, num_heads, head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = 1.0 / math.sqrt(head_dim)
+        # f32 softmax for stability; matmuls ride the MXU.
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits * scale, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).reshape(batch, -1, ch)
+        out = nn.Dense(ch, dtype=self.dtype, name="proj_attn")(out)
+        return x + out.reshape((batch,) + spatial_shape + (ch,))
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        spatial = x.ndim - 2
+        return nn.Conv(
+            self.out_channels,
+            (3,) * spatial,
+            strides=(2,) * spatial,
+            padding="SAME",
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        spatial = x.ndim - 2
+        new_shape = (
+            (x.shape[0],) + tuple(2 * s for s in x.shape[1:-1]) + (x.shape[-1],)
+        )
+        x = jax.image.resize(x, new_shape, method="nearest")
+        return nn.Conv(
+            self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv"
+        )(x)
+
+
+class DiffusionModelUNet(nn.Module):
+    """2D/3D epsilon-network. Input x: (B, *spatial, C) channel-last; t: (B,) int."""
+
+    spatial_dims: int = 2
+    in_channels: int = 1
+    out_channels: int = 1
+    num_channels: Sequence[int] = (128, 256, 256)
+    attention_levels: Sequence[bool] = (False, False, True)
+    num_res_blocks: int = 1
+    num_head_channels: int = 256
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        assert x.ndim == self.spatial_dims + 2, (
+            f"expected (B, *spatial x{self.spatial_dims}, C), got {x.shape}"
+        )
+        chs = tuple(self.num_channels)
+        n_levels = len(chs)
+        temb = timestep_embedding(t, chs[0])
+        time_embed_dim = chs[0] * 4
+        temb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(temb.astype(self.dtype))
+        temb = nn.silu(temb)
+        temb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(temb)
+
+        x = x.astype(self.dtype)
+        h = nn.Conv(
+            chs[0], (3,) * self.spatial_dims, padding="SAME", dtype=self.dtype, name="conv_in"
+        )(x)
+
+        skips = [h]
+        for level in range(n_levels):
+            for block in range(self.num_res_blocks):
+                h = ResnetBlock(
+                    chs[level],
+                    self.norm_num_groups,
+                    self.dtype,
+                    name=f"down_{level}_res_{block}",
+                )(h, temb)
+                if self.attention_levels[level]:
+                    h = AttentionBlock(
+                        self.num_head_channels,
+                        self.norm_num_groups,
+                        self.dtype,
+                        name=f"down_{level}_attn_{block}",
+                    )(h)
+                skips.append(h)
+            if level != n_levels - 1:
+                h = Downsample(chs[level], self.dtype, name=f"down_{level}_downsample")(h)
+                skips.append(h)
+
+        h = ResnetBlock(chs[-1], self.norm_num_groups, self.dtype, name="mid_res_0")(h, temb)
+        h = AttentionBlock(
+            self.num_head_channels, self.norm_num_groups, self.dtype, name="mid_attn"
+        )(h)
+        h = ResnetBlock(chs[-1], self.norm_num_groups, self.dtype, name="mid_res_1")(h, temb)
+
+        for i, level in enumerate(reversed(range(n_levels))):
+            for block in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = ResnetBlock(
+                    chs[level],
+                    self.norm_num_groups,
+                    self.dtype,
+                    name=f"up_{i}_res_{block}",
+                )(h, temb)
+                if self.attention_levels[level]:
+                    h = AttentionBlock(
+                        self.num_head_channels,
+                        self.norm_num_groups,
+                        self.dtype,
+                        name=f"up_{i}_attn_{block}",
+                    )(h)
+            if level != 0:
+                h = Upsample(chs[level], self.dtype, name=f"up_{i}_upsample")(h)
+
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm_out"
+        )(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(
+            self.out_channels,
+            (3,) * self.spatial_dims,
+            padding="SAME",
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv_out",
+        )(h)
+        return h.astype(jnp.float32)
+
+
+def make_unet(
+    model_type: str,
+    spatial_dims: int,
+    in_channels: int,
+    out_channels: int,
+    dtype: Dtype = jnp.float32,
+) -> DiffusionModelUNet:
+    """"small"/"big" presets matching the reference (base.py:65-88)."""
+    if model_type == "small":
+        return DiffusionModelUNet(
+            spatial_dims=spatial_dims,
+            in_channels=in_channels,
+            out_channels=out_channels,
+            num_channels=(128, 256, 256),
+            attention_levels=(False, False, True),
+            num_res_blocks=1,
+            num_head_channels=256,
+            dtype=dtype,
+        )
+    if model_type == "big":
+        return DiffusionModelUNet(
+            spatial_dims=spatial_dims,
+            in_channels=in_channels,
+            out_channels=out_channels,
+            num_channels=(256, 512, 768),
+            attention_levels=(True, True, True),
+            num_res_blocks=2,
+            num_head_channels=256,
+            dtype=dtype,
+        )
+    raise ValueError(f"Do not recognise model type {model_type}")
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

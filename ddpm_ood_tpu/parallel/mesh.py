@@ -1,0 +1,104 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for torch DDP/NCCL.
+
+The reference's distributed runtime is DistributedDataParallel over NCCL with
+env-var rendezvous (base.py:21-37,160-164; vqvae_trainer.py:28-44,128-141). Here the
+equivalent is GSPMD: a `jax.sharding.Mesh` with a `data` axis (and a spare `model`
+axis for future tensor/spatial sharding), batches sharded along `data`, params/opt
+state replicated (or FSDP-sharded along `data` — see train/ddpm.py), and gradient
+all-reduce compiled into the jitted step by XLA as ICI collectives. No explicit
+NCCL-style calls anywhere.
+
+Multi-host: `initialize_multihost` wraps `jax.distributed.initialize` (over DCN);
+per-host input sharding is handled by the data loader (data/loader.py), and batches
+become global arrays via `make_array_from_process_local_data`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = -1  # -1: all devices
+    model: int = 1
+
+
+def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    config = config or MeshConfig()
+    n = len(devices)
+    model = max(1, config.model)
+    data = config.data if config.data > 0 else n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over `data`, everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
+    """Device-put a host batch as a global array sharded along `data`.
+
+    Single-host: a straight device_put with the sharding. Multi-host: each process
+    contributes its local shard (the loader already partitioned the dataset).
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, batch)
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize for multi-host slices. No-op when single-process
+    and no coordinator is configured (mirrors the reference's torchrun-optional DDP)."""
+    import os
+
+    if coordinator_address is None and "COORDINATOR_ADDRESS" not in os.environ:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def pad_batch_to(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad the leading dim up to a multiple (for even sharding of ragged last
+    batches); returns (padded, valid_mask)."""
+    n = batch.shape[0]
+    rem = (-n) % multiple
+    mask = np.ones((n + rem,), dtype=bool)
+    if rem:
+        pad_width = [(0, rem)] + [(0, 0)] * (batch.ndim - 1)
+        batch = np.pad(batch, pad_width)
+        mask[n:] = False
+    return batch, mask
