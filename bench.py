@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Headline benchmark: OOD reconstruction throughput (reconstructions/sec/chip).
+
+Workload: the BASELINE.json north-star — FashionMNIST-geometry (32x32 grayscale
+after the 28->32 LPIPS pad the pipeline applies; we bench on 32x32 directly),
+"small" reference UNet, 100-step PLMS grid, inference_skip_factor 4 (25 start
+points per image, reference README.md:114-120).
+
+`vs_baseline` is the measured speedup of the TPU-native batched sweep (one
+`lax.scan` carrying all t_start lanes, recon/sweep.py) over the reference's
+ALGORITHM on the SAME chip: a faithful sequential per-t_start loop (one PLMS
+denoise per start point, reference src/trainers/reconstruct.py:128-157). The
+reference repo publishes no GPU throughput numbers (BASELINE.md), so same-chip
+algorithmic speedup is the honest denominator; the >10x-vs-GPU target is tracked
+separately once a GPU reference number exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddpm_ood_tpu.diffusion.plms import plms_denoise, pndm_start_points, pndm_timesteps
+from ddpm_ood_tpu.diffusion.schedules import add_noise, make_schedule
+from ddpm_ood_tpu.models.unet import make_unet
+from ddpm_ood_tpu.recon.sweep import plms_sweep
+
+import os
+
+QUICK = bool(int(os.environ.get("BENCH_QUICK", "0")))  # CPU smoke mode
+BATCH = 4 if QUICK else 32
+IMAGE = 32
+STEPS = 10 if QUICK else 100
+SKIP = 4
+MODEL = "tiny" if QUICK else "small"
+SEQ_SUBSET = 2 if QUICK else 4  # sequential baseline timed on a lane subset
+
+
+def main() -> None:
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    unet = make_unet(MODEL, 2, 1, 1, dtype=dtype)
+    sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((BATCH, IMAGE, IMAGE, 1), dtype=jnp.float32)
+    params = unet.init(rng, x, jnp.zeros((BATCH,), jnp.int32))["params"]
+
+    def model_fn(xx, tt):
+        return unet.apply({"params": params}, xx, tt)
+
+    ts = pndm_timesteps(1000, STEPS)
+    t_starts = pndm_start_points(ts, SKIP)
+    K = len(t_starts)
+    x0 = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, IMAGE, IMAGE, 1))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (K,) + x0.shape)
+
+    # ---- batched sweep (this framework) ------------------------------------------
+    @jax.jit
+    def batched(x0, noise):
+        return plms_sweep(
+            sched, model_fn, x0, noise, jnp.asarray(ts), jnp.asarray(t_starts), STEPS
+        )
+
+    batched(x0, noise).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    reps = 3 if on_tpu else 1
+    for _ in range(reps):
+        batched(x0, noise).block_until_ready()
+    batched_time = (time.perf_counter() - t0) / reps
+    recons_per_sec = K * BATCH / batched_time
+
+    # ---- sequential per-t_start loop (reference algorithm, same chip) ------------
+    @jax.jit
+    def one_lane(x_start, t_start):
+        return plms_denoise(
+            sched, model_fn, x_start, jnp.asarray(ts), t_start, STEPS
+        )
+
+    subset = t_starts[:: max(1, K // SEQ_SUBSET)][:SEQ_SUBSET]
+    # compile once on the first lane
+    xs = add_noise(sched, x0, noise[0], jnp.asarray(int(subset[0])))
+    one_lane(xs, jnp.asarray(int(subset[0]))).block_until_ready()
+    t0 = time.perf_counter()
+    for i, t_start in enumerate(subset):
+        xs = add_noise(sched, x0, noise[i], jnp.asarray(int(t_start)))
+        one_lane(xs, jnp.asarray(int(t_start))).block_until_ready()
+    seq_time_subset = time.perf_counter() - t0
+    seq_time_full = seq_time_subset * (K / len(subset))
+    seq_recons_per_sec = K * BATCH / seq_time_full
+
+    print(
+        json.dumps(
+            {
+                "metric": "reconstructions_per_sec_per_chip",
+                "value": round(recons_per_sec, 2),
+                "unit": f"recons/s (batch {BATCH}, {STEPS}-step PLMS, skip {SKIP}, "
+                f"{jax.default_backend()})",
+                "vs_baseline": round(recons_per_sec / seq_recons_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Argparse surfaces for the four CLI entry points — flag/default parity.
+
+Mirrors the reference parsers (train_ddpm.py:7-125, train_vqvae.py:7-101,
+reconstruct.py:7-141, ood_detection.py:15-37) so existing launch scripts work
+unchanged against the TPU framework. Tuple-ish flags are parsed with
+ast.literal_eval like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+
+
+def _common_train_flags(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--seed", type=int, default=2, help="Random seed to use.")
+    parser.add_argument("--output_dir", help="Location for models.")
+    parser.add_argument("--model_name", help="Name of model.")
+    parser.add_argument("--training_ids", help="Location of file with training ids.")
+    parser.add_argument("--validation_ids", help="Location of file with validation ids.")
+    parser.add_argument("--image_size", default=None, help="Resize images.")
+    parser.add_argument(
+        "--image_roi", default=None, type=ast.literal_eval,
+        help="Central ROI crop of inputs as a tuple; -1 leaves a dim uncropped.",
+    )
+
+
+def _ddpm_model_flags(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--latent_pad", default=None, type=ast.literal_eval,
+        help="Padding applied to the latent so the UNet's downsamples divide evenly.",
+    )
+    parser.add_argument(
+        "--vqvae_checkpoint", default=None,
+        help="Path to a VQ-VAE checkpoint to train/evaluate an LDM.",
+    )
+    parser.add_argument(
+        "--prediction_type", default="epsilon",
+        help="epsilon, sample, or v_prediction.",
+    )
+    parser.add_argument("--model_type", default="small", help="Small or big model.")
+    parser.add_argument(
+        "--beta_schedule", default="linear_beta",
+        help="linear_beta or scaled_linear_beta.",
+    )
+    parser.add_argument("--beta_start", type=float, default=1e-4, help="Beta start.")
+    parser.add_argument("--beta_end", type=float, default=2e-2, help="Beta end.")
+    parser.add_argument(
+        "--b_scale", type=float, default=1,
+        help="Scale the data by a factor b before noising.",
+    )
+    parser.add_argument(
+        "--snr_shift", type=float, default=1,
+        help="Shift the schedule SNR by a factor (for higher resolutions).",
+    )
+    parser.add_argument(
+        "--simplex_noise", type=int, default=0,
+        help="Use simplex instead of Gaussian noise.",
+    )
+
+
+def parse_args_train_ddpm(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Train a DDPM (or latent DDPM).")
+    _common_train_flags(parser)
+    parser.add_argument(
+        "--spatial_dimension", default=2, type=int, help="Dimension of images: 2d or 3d."
+    )
+    _ddpm_model_flags(parser)
+    parser.add_argument("--batch_size", type=int, default=512, help="Training batch size.")
+    parser.add_argument("--n_epochs", type=int, default=300, help="Number of epochs to train.")
+    parser.add_argument(
+        "--eval_freq", type=int, default=10, help="Epochs between evaluations."
+    )
+    parser.add_argument(
+        "--augmentation", type=int, default=1, help="Use of augmentation, 1 or 0."
+    )
+    parser.add_argument("--num_workers", type=int, default=8, help="Number of loader workers")
+    parser.add_argument(
+        "--cache_data", type=int, default=1, help="Cache data in the loader."
+    )
+    parser.add_argument(
+        "--checkpoint_every", type=int, default=100,
+        help="Save a checkpoint every checkpoint_every epochs.",
+    )
+    parser.add_argument(
+        "--ddpm_checkpoint_epoch", default=None,
+        help="Epoch number of a specific checkpoint to resume from (default: best).",
+    )
+    parser.add_argument("--is_grayscale", type=int, default=0, help="Is data grayscale.")
+    parser.add_argument(
+        "--quick_test", type=int, default=0,
+        help="Run a single batch of the train and eval loops.",
+    )
+    return parser.parse_args(argv)
+
+
+def parse_args_train_vqvae(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Train a VQ-VAE (stage 1 of an LDM).")
+    _common_train_flags(parser)
+    parser.add_argument(
+        "--spatial_dimension", default=3, type=int, help="Dimension of images: 2d or 3d."
+    )
+    parser.add_argument("--vqvae_in_channels", default=1, type=int)
+    parser.add_argument("--vqvae_out_channels", default=1, type=int)
+    parser.add_argument("--vqvae_num_res_layers", default=3, type=int)
+    parser.add_argument(
+        "--vqvae_downsample_parameters",
+        default=((2, 4, 1, 1), (2, 4, 1, 1), (2, 4, 1, 1), (2, 4, 1, 1)),
+        type=ast.literal_eval,
+        help="Per-level (stride, kernel, dilation, padding).",
+    )
+    parser.add_argument(
+        "--vqvae_upsample_parameters",
+        default=((2, 4, 1, 1, 0), (2, 4, 1, 1, 0), (2, 4, 1, 1, 0), (2, 4, 1, 1, 0)),
+        type=ast.literal_eval,
+        help="Per-level (stride, kernel, dilation, padding, output_padding).",
+    )
+    parser.add_argument(
+        "--vqvae_num_channels", default=[128, 128, 128, 256], type=ast.literal_eval
+    )
+    parser.add_argument(
+        "--vqvae_num_res_channels", default=[128, 128, 128, 256], type=ast.literal_eval
+    )
+    parser.add_argument("--vqvae_num_embeddings", default=256, type=int)
+    parser.add_argument("--vqvae_embedding_dim", default=256, type=int)
+    parser.add_argument("--vqvae_decay", default=0.99, type=float)
+    parser.add_argument("--vqvae_commitment_cost", default=0.25, type=float)
+    parser.add_argument("--vqvae_epsilon", default=1e-5, type=float)
+    parser.add_argument("--vqvae_dropout", default=0.0, type=float)
+    parser.add_argument("--vqvae_ddp_sync", default=True, type=bool)
+    parser.add_argument("--vqvae_learning_rate", default=3e-4, type=float)
+    parser.add_argument("--batch_size", type=int, default=4, help="Training batch size.")
+    parser.add_argument("--n_epochs", type=int, default=300, help="Number of epochs to train.")
+    parser.add_argument(
+        "--eval_freq", type=int, default=10, help="Epochs between evaluations."
+    )
+    parser.add_argument(
+        "--augmentation", type=int, default=1, help="Use of augmentation, 1 or 0."
+    )
+    parser.add_argument(
+        "--adversarial_weight", type=float, default=0.01,
+        help="Weight of the adversarial loss term.",
+    )
+    parser.add_argument(
+        "--adversarial_warmup", type=int, default=0,
+        help="Linearly warm the adversarial weight over the first 50 epochs.",
+    )
+    parser.add_argument("--num_workers", type=int, default=8, help="Number of loader workers")
+    parser.add_argument(
+        "--cache_data", type=int, default=1, help="Cache data in the loader."
+    )
+    parser.add_argument(
+        "--checkpoint_every", type=int, default=100,
+        help="Save a checkpoint every checkpoint_every epochs.",
+    )
+    parser.add_argument("--is_grayscale", type=int, default=0, help="Is data grayscale.")
+    parser.add_argument(
+        "--quick_test", type=int, default=0,
+        help="Run a single batch of the train and eval loops.",
+    )
+    return parser.parse_args(argv)
+
+
+def parse_args_reconstruct(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="Reconstruct val/in/out datasets from many start timesteps."
+    )
+    parser.add_argument("--seed", type=int, default=2, help="Random seed to use.")
+    parser.add_argument("--output_dir", help="Location for models.")
+    parser.add_argument("--model_name", help="Name of model.")
+    parser.add_argument("--validation_ids", help="Location of file with validation ids.")
+    parser.add_argument("--in_ids", help="Location of file with in-distribution ids.")
+    parser.add_argument(
+        "--out_ids",
+        help="List of the OOD split CSVs, comma separated; `_vflip`/`_hflip` "
+        "suffixes score flipped versions of a split.",
+    )
+    parser.add_argument(
+        "--spatial_dimension", default=2, type=int, help="Dimension of images: 2d or 3d."
+    )
+    parser.add_argument("--image_size", default=None, help="Resize images.")
+    parser.add_argument(
+        "--image_roi", default=None, type=ast.literal_eval,
+        help="Central ROI crop of inputs as a tuple.",
+    )
+    _ddpm_model_flags(parser)
+    parser.add_argument("--batch_size", type=int, default=512, help="Batch size.")
+    parser.add_argument(
+        "--augmentation", type=int, default=1, help="Use of augmentation, 1 or 0."
+    )
+    parser.add_argument("--num_workers", type=int, default=8, help="Number of loader workers")
+    parser.add_argument(
+        "--cache_data", type=int, default=1, help="Cache data in the loader."
+    )
+    parser.add_argument(
+        "--first_n_val", default=None,
+        help="Only run reconstructions on the first n val samples.",
+    )
+    parser.add_argument(
+        "--first_n", default=None,
+        help="Only run reconstructions on the first n in/out samples.",
+    )
+    parser.add_argument(
+        "--ddpm_checkpoint_epoch", default=None,
+        help="Epoch of a specific checkpoint to reconstruct with (default: best).",
+    )
+    parser.add_argument(
+        "--eval_checkpoint", default=None,
+        help="Alias of --ddpm_checkpoint_epoch (reference reconstruct.py:115-121).",
+    )
+    parser.add_argument("--drop_last", default=False, help="Drop last incomplete batch.")
+    parser.add_argument("--is_grayscale", type=int, default=0, help="Is data grayscale.")
+    parser.add_argument("--run_val", type=int, default=1, help="Run reconstructions on val set.")
+    parser.add_argument("--run_in", type=int, default=1, help="Run reconstructions on in set.")
+    parser.add_argument("--run_out", type=int, default=1, help="Run reconstructions on out set.")
+    parser.add_argument(
+        "--num_inference_steps", type=int, default=100,
+        help="Number of PLMS sampler steps.",
+    )
+    parser.add_argument(
+        "--inference_skip_factor", type=int, default=1,
+        help="Only reconstruct from every n-th start timestep.",
+    )
+    args = parser.parse_args(argv)
+    if args.eval_checkpoint and not args.ddpm_checkpoint_epoch:
+        args.ddpm_checkpoint_epoch = args.eval_checkpoint
+    return args
+
+
+def parse_args_ood_detection(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="Compute Z-score AUROCs from reconstruction result CSVs."
+    )
+    parser.add_argument("--seed", type=int, default=2, help="Random seed to use.")
+    parser.add_argument("--output_dir", help="Location of model outputs.")
+    parser.add_argument(
+        "--model_name", help="Name of model (or comma-separated list of models)."
+    )
+    parser.add_argument(
+        "--max_t", type=int, default=1000,
+        help="Only use reconstructions starting from t < max_t.",
+    )
+    parser.add_argument(
+        "--min_t", type=int, default=0,
+        help="Only use reconstructions starting from t > min_t.",
+    )
+    parser.add_argument(
+        "--t_skip", type=int, default=1,
+        help="Only use every n reconstructions (accepted for parity; the reference "
+        "also never applies it, ood_detection.py:34,58).",
+    )
+    return parser.parse_args(argv)

@@ -257,6 +257,20 @@ def make_unet(
             num_head_channels=256,
             dtype=dtype,
         )
+    if model_type == "tiny":
+        # framework extension (not in the reference): a small-geometry preset for
+        # CPU tests / smoke runs; same topology as "small".
+        return DiffusionModelUNet(
+            spatial_dims=spatial_dims,
+            in_channels=in_channels,
+            out_channels=out_channels,
+            num_channels=(32, 64, 64),
+            attention_levels=(False, False, True),
+            num_res_blocks=1,
+            num_head_channels=64,
+            norm_num_groups=8,
+            dtype=dtype,
+        )
     if model_type == "big":
         return DiffusionModelUNet(
             spatial_dims=spatial_dims,

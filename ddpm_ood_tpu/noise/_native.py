@@ -1,0 +1,119 @@
+"""ctypes binding + on-demand build of the native OpenSimplex kernel (csrc/).
+
+The reference's compiled component is numba-JIT'd CPU kernels
+(reference src/utils/simplex_noise.py:580-1293). Here the native path is a real
+C++/OpenMP shared library, compiled once with g++ and loaded via ctypes (no
+pybind11 in this image). Missing compiler -> `available()` is False and callers
+fall back to the JAX device path (noise/simplex.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "csrc" / "opensimplex.cpp"
+_LIB_PATH = Path(__file__).resolve().parent / "_libopensimplex.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        try:  # retry without OpenMP (still correct, single-threaded)
+            cmd.remove("-fopenmp")
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB_PATH.exists() or (
+            _SRC.exists() and _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        i64, f64 = ctypes.c_int64, ctypes.c_double
+        dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        sptr = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        lib.opensimplex3_fixed_t_grid.argtypes = [i64, f64, i64, i64, i64, f64, f64, dptr]
+        lib.opensimplex3_grid.argtypes = [i64, i64, i64, i64, i64, f64, f64, dptr]
+        lib.opensimplex2_grid.argtypes = [i64, i64, i64, i64, f64, f64, dptr]
+        lib.opensimplex_perm.argtypes = [i64, sptr, sptr]
+        for f in (lib.opensimplex3_fixed_t_grid, lib.opensimplex3_grid,
+                  lib.opensimplex2_grid, lib.opensimplex_perm):
+            f.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def noise3_fixed_t_grid(seed: int, t: float, shape: tuple[int, int],
+                        octaves: int, persistence: float, frequency: float) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native opensimplex library unavailable")
+    out = np.empty(shape, dtype=np.float64)
+    lib.opensimplex3_fixed_t_grid(
+        int(seed), float(t), shape[0], shape[1], int(octaves),
+        float(persistence), float(frequency), out,
+    )
+    return out
+
+
+def noise3_grid(seed: int, shape: tuple[int, int, int], octaves: int,
+                persistence: float, frequency: float) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native opensimplex library unavailable")
+    out = np.empty(shape, dtype=np.float64)
+    lib.opensimplex3_grid(int(seed), shape[0], shape[1], shape[2], int(octaves),
+                          float(persistence), float(frequency), out)
+    return out
+
+
+def noise2_grid(seed: int, shape: tuple[int, int], octaves: int,
+                persistence: float, frequency: float) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native opensimplex library unavailable")
+    out = np.empty(shape, dtype=np.float64)
+    lib.opensimplex2_grid(int(seed), shape[0], shape[1], int(octaves),
+                          float(persistence), float(frequency), out)
+    return out
+
+
+def perm_tables(seed: int) -> tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native opensimplex library unavailable")
+    perm = np.empty(256, dtype=np.int16)
+    grad3 = np.empty(256, dtype=np.int16)
+    lib.opensimplex_perm(int(seed), perm, grad3)
+    return perm.astype(np.int64), grad3.astype(np.int64)

@@ -1,0 +1,223 @@
+"""OOD scoring analytics: Z-score aggregation + AUROC over reconstruction CSVs.
+
+Capability parity with the reference's host-side scorer (ood_detection.py:40-223):
+  - reads `ood/results_{val,in,<name>}.csv` produced by the reconstruction stage
+    (columns: filename, type, t, perceptual_difference, mse);
+  - dedups (filename, t) rows — kept for compatibility with even-divisible
+    sharding duplicates (reference :53-54, 143-145);
+  - filters start timesteps by (min_t, max_t) (:56-61) and reports the PLMS model-
+    evaluation count for the configuration (:64-79, via diffusion/plms.py instead
+    of instantiating a scheduler);
+  - per-t validation mean/std -> per-row Z-scores for BOTH mse and
+    perceptual_difference (:150-161); per-image mean Z over t (:174);
+  - AUROC with in=0 / out=1 via sklearn (:193-206); per-model OOD dataset registry
+    (:92-135); headline plot target is "mse" (:73);
+  - optional z-vs-t curve plot saved to the run dir (the reference calls
+    plt.show(), :177-192 — headless here).
+
+This layer is deliberately host-side pandas/numpy: it is I/O-bound analytics over
+a few thousand scalar rows, not device work.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..diffusion.plms import pndm_timesteps
+
+_MEDNIST = ("AbdomenCT", "BreastMRI", "ChestCT", "CXR", "Hand", "HeadCT")
+
+# model-name substring -> held-out OOD datasets (reference ood_detection.py:92-135)
+OOD_DATASET_REGISTRY: Dict[str, Tuple[str, ...]] = {
+    "fashionmnist": ("MNIST", "FashionMNIST_vflip", "FashionMNIST_hflip"),
+    "mnist": ("FashionMNIST", "MNIST_vflip", "MNIST_hflip"),
+    "cifar10": ("SVHN", "CelebA", "CIFAR10_vflip", "CIFAR10_hflip"),
+    "celeba": ("CIFAR10", "SVHN", "CelebA_vflip", "CelebA_hflip"),
+    "svhn": ("CIFAR10", "CelebA", "SVHN_vflip", "SVHN_hflip"),
+    "abdomenct": tuple(d for d in _MEDNIST if d != "AbdomenCT"),
+    "breastmri": tuple(d for d in _MEDNIST if d != "BreastMRI"),
+    "cxr": tuple(d for d in _MEDNIST if d != "CXR"),
+    "chestct": tuple(d for d in _MEDNIST if d != "ChestCT"),
+    "hand": tuple(d for d in _MEDNIST if d != "Hand"),
+    "headct": tuple(d for d in _MEDNIST if d != "HeadCT"),
+    "decathlon": tuple(f"Task{i:02d}" for i in range(2, 11)),
+}
+
+
+def out_datasets_for_model(model_name: str) -> Tuple[str, ...]:
+    """Registry lookup by substring; 'fashionmnist' must win over 'mnist'
+    (reference's if/elif ordering, ood_detection.py:95-135)."""
+    name = model_name.lower()
+    order = [
+        "fashionmnist", "mnist", "cifar10", "celeba", "svhn",
+        "abdomenct", "breastmri", "cxr", "chestct", "hand", "headct",
+    ]
+    for key in order:
+        if key in name:
+            return OOD_DATASET_REGISTRY[key]
+    if "decathlon" in name or "Task01" in model_name:
+        return OOD_DATASET_REGISTRY["decathlon"]
+    raise ValueError(f"Unknown dataset to select for run_dir {model_name}")
+
+
+def auroc(labels: Sequence[int], scores: Sequence[float]) -> float:
+    from sklearn.metrics import roc_auc_score
+
+    return float(roc_auc_score(labels, scores))
+
+
+def dedup(df: pd.DataFrame) -> pd.DataFrame:
+    """Drop duplicate (filename, t) rows (DDP even-divisible padding artifact)."""
+    return df.drop_duplicates(subset=["filename", "t"], keep="first")
+
+
+def select_t(df: pd.DataFrame, t_values: Iterable[int]) -> pd.DataFrame:
+    return df[df["t"].isin(list(t_values))]
+
+
+def model_evaluations(t_values: Sequence[int], num_inference_steps: int = 100) -> int:
+    """Total UNet evaluations implied by the start points (reference :64-79)."""
+    ts = pndm_timesteps(1000, num_inference_steps)
+    return int(sum(int((ts <= t).sum()) for t in t_values))
+
+
+def zscore_against_val(
+    results_df: pd.DataFrame,
+    val_df: pd.DataFrame,
+    targets: Sequence[str] = ("perceptual_difference", "mse"),
+) -> pd.DataFrame:
+    """Per-t val mean/std -> z_score_<target> columns (reference :150-161)."""
+    df = results_df.copy()
+    for target in targets:
+        agg = (
+            val_df.groupby("t")[target]
+            .agg(["mean", "std"])
+            .reset_index()
+            .rename(columns={"mean": f"val_mean_{target}", "std": f"val_std_{target}"})
+        )
+        df = df.merge(agg, on="t", how="left")
+        df[f"z_score_{target}"] = (
+            df[target] - df[f"val_mean_{target}"]
+        ) / df[f"val_std_{target}"]
+    return df
+
+
+def compute_ood_scores(
+    val_df: pd.DataFrame,
+    in_df: pd.DataFrame,
+    out_df: pd.DataFrame,
+    plot_target: str = "mse",
+    min_t: int = 0,
+    max_t: int = 1000,
+) -> Dict[str, object]:
+    """Full scoring for one (in, out) pair. Returns the AUROC plus the per-image
+    mean-Z table (z-scored rows available for plotting)."""
+    val_df = dedup(val_df)
+    t_values = np.asarray(sorted(val_df["t"].unique()))
+    t_values = t_values[(t_values < max_t) & (t_values > min_t)]
+    val_df = select_t(val_df, t_values)
+
+    in_df = select_t(dedup(in_df), t_values)
+    out_df = select_t(dedup(out_df), t_values)
+    combined = pd.concat((in_df, out_df))
+    combined = zscore_against_val(combined, val_df)
+
+    target = f"z_score_{plot_target}"
+    if plot_target == "mse+perceptual":
+        combined["z_score_mse+perceptual"] = (
+            combined["z_score_mse"] + combined["z_score_perceptual_difference"]
+        )
+    per_image = (
+        combined.groupby(["filename", "type"]).mean(numeric_only=True).reset_index()
+    )
+    in_scores = per_image.loc[per_image["type"] == "in", target].to_numpy()
+    out_scores = per_image.loc[per_image["type"] == "out", target].to_numpy()
+    labels = [0] * len(in_scores) + [1] * len(out_scores)
+    scores = np.concatenate([in_scores, out_scores])
+    return {
+        "auroc": auroc(labels, scores),
+        "per_image": per_image,
+        "rows": combined,
+        "t_values": t_values,
+        "n_in": int(in_df["filename"].nunique()),
+        "n_out": int(out_df["filename"].nunique()),
+        "n_val": int(val_df["filename"].nunique()),
+    }
+
+
+def _plot_curves(rows: pd.DataFrame, plot_target: str, path: Path) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure()
+    colors = {"in": "b", "out": "r"}
+    for typ in ("in", "out"):
+        sub = rows.loc[rows["type"] == typ]
+        for fid in sub["filename"].unique()[:50]:
+            rec = sub.loc[sub["filename"] == fid]
+            plt.plot(rec["t"], rec[f"z_score_{plot_target}"],
+                     color=colors[typ], alpha=0.3)
+    plt.xlabel("t")
+    plt.ylabel(f"z_score_{plot_target}")
+    plt.savefig(path, dpi=100)
+    plt.close()
+
+
+def run_ood_detection(
+    output_dir: str,
+    model_name: str,
+    max_t: int = 1000,
+    min_t: int = 0,
+    plot_target: str = "mse",
+    save_plots: bool = True,
+    out_datasets: Optional[Sequence[str]] = None,
+) -> Dict[str, List]:
+    """Driver for one model: mirrors reference main() (ood_detection.py:40-223)."""
+    run_dir = Path(output_dir) / model_name
+    out_dir = run_dir / "ood"
+    out_dir.mkdir(exist_ok=True, parents=True)
+    print(f"Run directory: {run_dir}")
+
+    val_df = dedup(pd.read_csv(out_dir / "results_val.csv"))
+    t_values = np.asarray(sorted(val_df["t"].unique()))
+    t_sel = t_values[(t_values < max_t) & (t_values > min_t)]
+    total_evals = model_evaluations(t_sel)
+    print(
+        f"SETTING MAX_T to {max_t} with a total of {len(t_sel)} starting points "
+        f"{total_evals} model evaluations"
+    )
+    print(f"Plot target is {plot_target}")
+
+    if out_datasets is None:
+        out_datasets = out_datasets_for_model(model_name)
+    results = {"ood_data": [], f"Zscore_{plot_target}": []}
+    for out_name in out_datasets:
+        in_df = pd.read_csv(out_dir / "results_in.csv")
+        out_df = pd.read_csv(out_dir / f"results_{out_name}.csv")
+        scored = compute_ood_scores(
+            val_df, in_df, out_df, plot_target=plot_target,
+            min_t=min_t, max_t=max_t,
+        )
+        print(
+            f"n_val={scored['n_val']} n_in={scored['n_in']} n_out={scored['n_out']}"
+        )
+        if save_plots:
+            _plot_curves(
+                scored["rows"], plot_target,
+                out_dir / f"zscore_curves_{out_name}.png",
+            )
+        results["ood_data"].append(out_name)
+        results[f"Zscore_{plot_target}"].append(scored["auroc"])
+
+    for o, s in zip(results["ood_data"], results[f"Zscore_{plot_target}"]):
+        print(f"AUC for {model_name} vs {o}: {s * 100:.1f}")
+    print(
+        f"Average AUC: {np.mean(results[f'Zscore_{plot_target}']) * 100:.1f}"
+    )
+    return results

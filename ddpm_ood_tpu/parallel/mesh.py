@@ -56,9 +56,21 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
     """Device-put a host batch as a global array sharded along `data`.
 
+    A ragged batch (size not divisible by the data-axis extent) is wrap-padded by
+    repeating leading samples — the GSPMD analogue of MONAI partition_dataset's
+    `even_divisible=True` (reference get_train_and_val_dataloader.py:21-31); the
+    OOD scorer's (filename, t) dedup keeps results exact, and for training the
+    duplicated samples are statistically harmless, exactly as in the reference.
+
     Single-host: a straight device_put with the sharding. Multi-host: each process
     contributes its local shard (the loader already partitioned the dataset).
     """
+    data_size = mesh.shape[DATA_AXIS]
+    batch = np.asarray(batch)
+    if batch.shape[0] % data_size != 0:
+        target = ((batch.shape[0] + data_size - 1) // data_size) * data_size
+        idx = np.arange(target) % batch.shape[0]  # wrap
+        batch = batch[idx]
     sharding = batch_sharding(mesh)
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)

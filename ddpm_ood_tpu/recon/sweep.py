@@ -1,0 +1,220 @@
+"""Batched multi-t_start reconstruction sweep — the framework's performance core.
+
+The reference reconstructs each test batch sequentially: a Python loop over ~25-100
+start timesteps, each with an inner PLMS loop of UNet calls
+(src/trainers/reconstruct.py:128-157). Here the ENTIRE sweep is one device program:
+
+  - all K start-points ("lanes") are carried through a single `lax.scan` over the
+    descending PLMS timestep grid; a lane becomes active once the scan reaches its
+    t_start (`t <= t_start`), exactly reproducing the reference's
+    `pndm_timesteps[pndm_timesteps <= t_start]` suffix per lane;
+  - every scan step evaluates the UNet ONCE on the flattened (K*B) mega-batch — the
+    MXU sees one large batched conv/attention workload instead of K*B small ones;
+  - per-lane PLMS state (epsilon ring buffer, warm-up counter) is vmapped pytree
+    state with masked updates (diffusion/plms.py), so variable-length trajectories
+    share one static-shape scan;
+  - lane grouping (`num_groups`>1) sorts start-points into contiguous groups and
+    trims each group's scan to the suffix it actually needs, cutting the ~2x masked
+    overhead of the single-scan version (at the cost of one compile per group shape);
+  - decode (VQ-VAE stage-2), un-padding, /b_scale, clamp, MSE and LPIPS scoring all
+    run inside the same jit (reference lines 159-191), so per-(image, t_start) scalar
+    metrics are the only host transfer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.plms import (
+    PLMSState,
+    plms_init_state,
+    plms_step,
+    pndm_start_points,
+    pndm_timesteps,
+)
+from ..diffusion.schedules import NoiseSchedule, add_noise
+from ..utils.padding import pad_torch_style, unpad_torch_style
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def plms_sweep(
+    sched: NoiseSchedule,
+    model_fn: ModelFn,
+    x0: jnp.ndarray,
+    noise: jnp.ndarray,
+    timesteps_desc: jnp.ndarray,
+    t_starts: jnp.ndarray,
+    num_inference_steps: int,
+    b_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Denoise `x0` from K start points in one scan.
+
+    x0: (B, *spatial, C) clean latents/images; noise: (K, B, *spatial, C) fresh
+    noise per lane (reference draws new noise per t_start,
+    src/trainers/reconstruct.py:130-142); t_starts: (K,) int32 ascending.
+    Returns (K, B, *spatial, C) reconstructions (still latent-space, b_scaled).
+    """
+    K = t_starts.shape[0]
+    B = x0.shape[0]
+    sample_shape = x0.shape
+    step_ratio = sched.num_train_timesteps // num_inference_steps
+
+    x_start = jax.vmap(lambda n, t: add_noise(sched, x0 * b_scale, n, t))(
+        noise, t_starts
+    )  # (K, B, ...)
+    state = jax.vmap(plms_init_state)(x_start)
+
+    def body(state: PLMSState, t):
+        x_flat = state.x.reshape((K * B,) + sample_shape[1:])
+        t_flat = jnp.full((K * B,), t, dtype=jnp.int32)
+        out = model_fn(x_flat, t_flat).reshape((K, B) + sample_shape[1:])
+        active = t <= t_starts  # (K,) — lane joins once the grid reaches its start
+        state = jax.vmap(
+            lambda s, o, a: plms_step(sched, s, o, t, step_ratio, active=a)
+        )(state, out, active)
+        return state, None
+
+    state, _ = jax.lax.scan(body, state, timesteps_desc)
+    return state.x
+
+
+def group_t_starts(
+    timesteps_desc: np.ndarray, t_starts: np.ndarray, num_groups: int
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Split ascending t_starts into contiguous groups, each with the trimmed
+    descending timestep suffix it needs. Host-side, static shapes per group."""
+    num_groups = max(1, min(num_groups, len(t_starts)))
+    chunks = np.array_split(np.asarray(t_starts), num_groups)
+    out = []
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        tmax = int(chunk.max())
+        suffix = timesteps_desc[timesteps_desc <= tmax]
+        out.append((suffix.astype(np.int32), chunk.astype(np.int32)))
+    return out
+
+
+@dataclasses.dataclass
+class ReconProgram:
+    """Compiled end-to-end scoring program: noise -> PLMS sweep -> decode -> metrics.
+
+    One instance per (model, config); `__call__` maps a host batch to per-
+    (t_start, image) MSE and LPIPS arrays. Mirrors reference get_scores
+    (src/trainers/reconstruct.py:72-250) minus the CSV/writer layer.
+    """
+
+    sched: NoiseSchedule
+    model_fn: ModelFn  # closed over trained params
+    num_inference_steps: int = 100
+    inference_skip_factor: int = 1
+    b_scale: float = 1.0
+    num_groups: int = 4
+    latent_pad: Optional[Tuple[int, ...]] = None
+    # stage-2 hooks; identity for pixel-space models (PassthroughVQVAE parity)
+    encode_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    decode_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    perceptual_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None
+    pad_images_for_lpips: bool = True  # the 28->32 rule
+    simplex_noise_fn: Optional[Callable] = None  # (rng, shape, t_starts) -> noise
+
+    def __post_init__(self):
+        self.timesteps_desc = pndm_timesteps(
+            self.sched.num_train_timesteps, self.num_inference_steps
+        )
+        self.t_starts = pndm_start_points(
+            self.timesteps_desc, self.inference_skip_factor
+        )
+        self._groups = group_t_starts(
+            self.timesteps_desc, self.t_starts, self.num_groups
+        )
+        self._compiled: Dict[Tuple, Callable] = {}
+
+    # -- jitted per-group program ------------------------------------------------
+    def _build(self, ts_desc: np.ndarray, t_starts: np.ndarray):
+        ts_desc_j = jnp.asarray(ts_desc)
+        t_starts_j = jnp.asarray(t_starts)
+        K = len(t_starts)
+
+        def program(images_original: jnp.ndarray, rng: jax.Array):
+            # images_original: (B, *spatial, C) in [0, 1]
+            x = images_original
+            if self.encode_fn is not None:
+                x = self.encode_fn(x)
+            if self.latent_pad:
+                x = pad_torch_style(x, self.latent_pad)
+
+            noise_shape = (K,) + x.shape
+            if self.simplex_noise_fn is not None:
+                noise = self.simplex_noise_fn(rng, noise_shape, t_starts_j)
+            else:
+                noise = jax.random.normal(rng, noise_shape, dtype=x.dtype)
+
+            recon = plms_sweep(
+                self.sched,
+                self.model_fn,
+                x,
+                noise,
+                ts_desc_j,
+                t_starts_j,
+                self.num_inference_steps,
+                self.b_scale,
+            )  # (K, B, *latent, C)
+
+            if self.latent_pad:
+                recon = jax.vmap(lambda r: unpad_torch_style(r, self.latent_pad))(recon)
+            if self.decode_fn is not None:
+                recon = jax.vmap(self.decode_fn)(recon)
+            recon = jnp.clip(recon / self.b_scale, 0.0, 1.0)
+
+            # per-(lane, image) MSE over non-batch dims (reference :188-191)
+            diff = jnp.square(images_original[None] - recon)
+            mse = jnp.mean(diff, axis=tuple(range(2, diff.ndim)))  # (K, B)
+
+            if self.perceptual_fn is not None:
+                img = images_original
+                rec = recon
+                if (
+                    self.pad_images_for_lpips
+                    and img.ndim == 4
+                    and (img.shape[1] < 32 or img.shape[2] < 32)
+                ):
+                    # 28->32 reference rule (reconstruct.py:170-178), generalized
+                    # to any sub-32 input (AlexNet collapses below 32)
+                    from ..losses.lpips import pad_to_min_32
+
+                    img = pad_to_min_32(img)
+                    rec = jax.vmap(pad_to_min_32)(rec)
+                perc = jax.vmap(lambda r: self.perceptual_fn(img, r))(rec)
+                perc = perc.reshape(K, -1)  # (K, B) in 2D; (K, 1) for 3D scalar
+                if perc.shape[1] != mse.shape[1]:
+                    perc = jnp.broadcast_to(perc, mse.shape)
+            else:
+                perc = jnp.zeros_like(mse)
+            return mse, perc
+
+        return jax.jit(program)
+
+    def __call__(self, images: jnp.ndarray, rng: jax.Array):
+        """Score one batch. Returns (t_starts (K,), mse (K,B), perceptual (K,B))."""
+        mses, percs, starts = [], [], []
+        for gi, (ts_desc, t_starts) in enumerate(self._groups):
+            key = (ts_desc.shape[0], t_starts.shape[0], images.shape)
+            if key not in self._compiled:
+                self._compiled[key] = self._build(ts_desc, t_starts)
+            rng, sub = jax.random.split(rng)
+            mse, perc = self._compiled[key](images, sub)
+            mses.append(mse)
+            percs.append(perc)
+            starts.append(t_starts)
+        return (
+            np.concatenate(starts),
+            jnp.concatenate(mses, axis=0),
+            jnp.concatenate(percs, axis=0),
+        )

@@ -1,0 +1,126 @@
+"""Jitted DDPM/LDM training step: the reference hot loop as one device program.
+
+Parity with the reference per-step pipeline (ddpm_trainer.py:66-124): frozen-VQVAE
+encode (LDM), latent pad, t ~ U[0, T), Gaussian (or externally supplied simplex)
+noise, add_noise(x * b_scale), UNet prediction, MSE to the prediction-type target,
+Adam(lr=2.5e-5, reference base.py:156) update.
+
+TPU-first:
+  - one `jit`: noising, forward, backward, and optimizer update fuse into a single
+    XLA program; under a data-sharded mesh the gradient all-reduce is compiled in as
+    ICI collectives (replacing torch DDP, reference base.py:160-164);
+  - bf16 compute / f32 params & optimizer — no GradScaler (reference base.py:122's
+    AMP loss-scaling is unnecessary: bf16 keeps fp32 exponent range);
+  - loss is computed in f32; global_step counts IMAGES like the reference
+    (ddpm_trainer.py:110).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ..diffusion.schedules import NoiseSchedule, add_noise, training_target
+from ..utils.padding import pad_torch_style
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_ddpm_state(
+    unet,
+    rng: jax.Array,
+    sample_shape: Tuple[int, ...],
+    learning_rate: float = 2.5e-5,
+) -> TrainState:
+    """Init params on a (1, *spatial, C) dummy and build the Adam state."""
+    dummy_x = jnp.zeros((1,) + tuple(sample_shape), dtype=jnp.float32)
+    dummy_t = jnp.zeros((1,), dtype=jnp.int32)
+    params = unet.init(rng, dummy_x, dummy_t)["params"]
+    tx = optax.adam(learning_rate)
+    return TrainState.create(apply_fn=unet.apply, params=params, tx=tx)
+
+
+@dataclasses.dataclass
+class DDPMTrainStep:
+    """Builds the jitted train/eval steps for a (possibly latent) DDPM."""
+
+    sched: NoiseSchedule
+    b_scale: float = 1.0
+    encode_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    latent_pad: Optional[Tuple[int, ...]] = None
+    external_noise: bool = False  # True: caller supplies noise (simplex path)
+
+    def _prepare(self, images: jnp.ndarray) -> jnp.ndarray:
+        x = images
+        if self.encode_fn is not None:
+            x = self.encode_fn(x)
+        if self.latent_pad:
+            x = pad_torch_style(x, self.latent_pad)
+        return x
+
+    def _loss(self, state: TrainState, params, x0, noise, t):
+        x_scaled = x0 * self.b_scale
+        x_t = add_noise(self.sched, x_scaled, noise, t)
+        target = training_target(self.sched, x_scaled, noise, t)
+        pred = state.apply_fn({"params": params}, x_t, t)
+        return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
+
+    def make_train_step(self):
+        """internal-noise: step(state, images, rng); external (simplex path, the
+        reference generates noise host-side too, ddpm_trainer.py:93-98):
+        step(state, images, t, noise)."""
+        if self.external_noise:
+            def step_ext(state: TrainState, images: jnp.ndarray,
+                         t: jnp.ndarray, noise: jnp.ndarray):
+                x0 = self._prepare(images)
+                loss, grads = jax.value_and_grad(
+                    lambda p: self._loss(state, p, x0, noise, t)
+                )(state.params)
+                state = state.apply_gradients(grads=grads)
+                return state, loss
+
+            return jax.jit(step_ext, donate_argnums=(0,))
+
+        def step(state: TrainState, images: jnp.ndarray, rng: jax.Array):
+            t_key, n_key = jax.random.split(rng)
+            x0 = self._prepare(images)
+            batch = x0.shape[0]
+            t = jax.random.randint(
+                t_key, (batch,), 0, self.sched.num_train_timesteps, dtype=jnp.int32
+            )
+            noise = jax.random.normal(n_key, x0.shape, dtype=x0.dtype)
+            loss, grads = jax.value_and_grad(
+                lambda p: self._loss(state, p, x0, noise, t)
+            )(state.params)
+            state = state.apply_gradients(grads=grads)
+            return state, loss
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def make_eval_step(self):
+        if self.external_noise:
+            def step_ext(state: TrainState, images: jnp.ndarray,
+                         t: jnp.ndarray, noise: jnp.ndarray):
+                x0 = self._prepare(images)
+                return self._loss(state, state.params, x0, noise, t)
+
+            return jax.jit(step_ext)
+
+        def step(state: TrainState, images: jnp.ndarray, rng: jax.Array):
+            t_key, n_key = jax.random.split(rng)
+            x0 = self._prepare(images)
+            batch = x0.shape[0]
+            t = jax.random.randint(
+                t_key, (batch,), 0, self.sched.num_train_timesteps, dtype=jnp.int32
+            )
+            noise = jax.random.normal(n_key, x0.shape, dtype=x0.dtype)
+            return self._loss(state, state.params, x0, noise, t)
+
+        return jax.jit(step)

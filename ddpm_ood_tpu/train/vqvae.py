@@ -1,0 +1,189 @@
+"""Jitted VQ-VAE + PatchGAN training steps (generator and discriminator).
+
+Parity with the reference per-step pipeline (vqvae_trainer.py:211-310):
+  G: (recon, q_loss) = VQVAE(images); logits_fake = D(recon)[-1];
+     total = L1 + q_loss + perceptual_weight * LPIPS + jukebox + adv_weight * LSGAN,
+     with the adversarial weight linearly warmed over the first 50 epochs
+     (vqvae_trainer.py:239-242); Adam(vqvae_lr) for G, Adam(5e-4) for D
+     (vqvae_trainer.py:93-96).
+  D: LSGAN on detached recon vs real, halved sum, scaled by adv_weight
+     (vqvae_trainer.py:254-266).
+
+TPU-first: G and D updates are two jitted programs (the reference's two
+backward/step calls); EMA codebook updates ride the G step as mutable Flax "ema"
+state computed from the GLOBAL batch — XLA inserts the cross-chip reduction,
+replacing monai's ddp_sync all-reduce (reference train_vqvae.py:50). BatchNorm
+stats thread through "batch_stats".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ..losses.gan import discriminator_loss, generator_adversarial_loss
+from ..losses.spectral import jukebox_loss
+
+
+class VQVAEState(train_state.TrainState):
+    ema: dict = None  # EMA codebook stats (non-gradient state)
+
+
+class DiscState(train_state.TrainState):
+    batch_stats: dict = None
+
+
+def make_vqvae_states(
+    vqvae,
+    discriminator,
+    rng: jax.Array,
+    sample_shape: Tuple[int, ...],
+    vqvae_lr: float = 3e-4,
+    disc_lr: float = 5e-4,
+) -> Tuple[VQVAEState, DiscState]:
+    g_rng, d_rng = jax.random.split(rng)
+    dummy = jnp.zeros((1,) + tuple(sample_shape), dtype=jnp.float32)
+    g_vars = vqvae.init({"params": g_rng}, dummy, False)
+    d_vars = discriminator.init({"params": d_rng}, dummy, False)
+    g_state = VQVAEState.create(
+        apply_fn=vqvae.apply,
+        params=g_vars["params"],
+        tx=optax.adam(vqvae_lr),
+        ema=g_vars.get("ema", {}),
+    )
+    d_state = DiscState.create(
+        apply_fn=discriminator.apply,
+        params=d_vars["params"],
+        tx=optax.adam(disc_lr),
+        batch_stats=d_vars.get("batch_stats", {}),
+    )
+    return g_state, d_state
+
+
+@dataclasses.dataclass
+class VQVAETrainSteps:
+    spatial_dims: int = 2
+    perceptual_weight: float = 0.001
+    perceptual_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None
+
+    def make_generator_step(self):
+        def step(g_state: VQVAEState, d_state: DiscState, images: jnp.ndarray,
+                 adv_weight: jnp.ndarray):
+            def loss_fn(params):
+                (recon, q_loss), new_vars = g_state.apply_fn(
+                    {"params": params, "ema": g_state.ema},
+                    images,
+                    True,
+                    mutable=["ema"],
+                )
+                recon_f = recon.astype(jnp.float32)
+                logits_fake = d_state.apply_fn(
+                    {"params": d_state.params, "batch_stats": d_state.batch_stats},
+                    recon_f,
+                    False,
+                )[-1]
+                l1 = jnp.mean(jnp.abs(recon_f - images))
+                if self.perceptual_fn is not None:
+                    p_loss = jnp.mean(self.perceptual_fn(images, recon_f))
+                else:
+                    p_loss = jnp.zeros(())
+                jb = jukebox_loss(recon_f, images, self.spatial_dims)
+                adv = generator_adversarial_loss(logits_fake)
+                total = (
+                    l1 + q_loss + self.perceptual_weight * p_loss + jb
+                    + adv_weight * adv
+                )
+                metrics = {
+                    "l1_loss": l1,
+                    "quantization_loss": q_loss,
+                    "perceptual_loss": p_loss,
+                    "jukebox_loss": jb,
+                    "adversarial_loss": adv,
+                    "generator_loss": total,
+                    "recon": recon_f,
+                }
+                return total, (new_vars["ema"], metrics)
+
+            (loss, (new_ema, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(g_state.params)
+            g_state = g_state.apply_gradients(grads=grads)
+            g_state = g_state.replace(ema=new_ema)
+            return g_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def make_discriminator_step(self):
+        def step(d_state: DiscState, recon: jnp.ndarray, images: jnp.ndarray,
+                 adv_weight: jnp.ndarray):
+            recon = jax.lax.stop_gradient(recon)
+
+            def loss_fn(params):
+                logits_fake, new_vars = d_state.apply_fn(
+                    {"params": params, "batch_stats": d_state.batch_stats},
+                    recon,
+                    True,
+                    mutable=["batch_stats"],
+                )
+                logits_real, new_vars = d_state.apply_fn(
+                    {"params": params, "batch_stats": new_vars["batch_stats"]},
+                    images,
+                    True,
+                    mutable=["batch_stats"],
+                )
+                d_loss = discriminator_loss(logits_fake[-1], logits_real[-1])
+                return adv_weight * d_loss, (new_vars["batch_stats"], d_loss)
+
+            (_, (new_bs, d_loss)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(d_state.params)
+            d_state = d_state.apply_gradients(grads=grads)
+            d_state = d_state.replace(batch_stats=new_bs)
+            return d_state, d_loss
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def make_eval_step(self):
+        def step(g_state: VQVAEState, d_state: DiscState, images: jnp.ndarray):
+            (recon, q_loss) = g_state.apply_fn(
+                {"params": g_state.params, "ema": g_state.ema}, images, False
+            )
+            recon_f = recon.astype(jnp.float32)
+            logits_fake = d_state.apply_fn(
+                {"params": d_state.params, "batch_stats": d_state.batch_stats},
+                recon_f,
+                False,
+            )[-1]
+            l1 = jnp.mean(jnp.abs(recon_f - images))
+            if self.perceptual_fn is not None:
+                p_loss = jnp.mean(self.perceptual_fn(images, recon_f))
+            else:
+                p_loss = jnp.zeros(())
+            jb = jukebox_loss(recon_f, images, self.spatial_dims)
+            adv = generator_adversarial_loss(logits_fake)
+            total = l1 + q_loss + self.perceptual_weight * p_loss + jb
+            return {
+                "l1_loss": l1,
+                "quantization_loss": q_loss,
+                "perceptual_loss": p_loss,
+                "jukebox_loss": jb,
+                "adversarial_loss": adv,
+                "generator_loss": total,
+                "recon": recon_f,
+            }
+
+        return jax.jit(step)
+
+
+def adversarial_weight(
+    adv_weight: float, epoch: int, warmup: bool
+) -> float:
+    """Linear 50-epoch warm-up of the adversarial weight (vqvae_trainer.py:239-242)."""
+    if warmup:
+        return adv_weight * min(epoch, 50) / 50
+    return adv_weight

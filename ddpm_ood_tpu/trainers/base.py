@@ -1,0 +1,234 @@
+"""BaseTrainer: shared model/schedule/checkpoint wiring for the DDPM pipelines.
+
+Capability parity with the reference BaseTrainer (src/trainers/base.py:19-187):
+frozen VQ-VAE (or passthrough) selection from `--vqvae_checkpoint` +
+`vqvae_config.json`, small/big UNet presets, DDPM schedule + SNR shift, simplex
+noise opt-in, latent pad bookkeeping, checkpoint discovery/resume with the
+{epoch+1, global_step, model_state_dict, optimizer_state_dict, best_loss} schema,
+Adam lr 2.5e-5.
+
+TPU-native differences (by design, not omission):
+  - torch DDP/NCCL init (reference base.py:21-37,160-164) is replaced by a GSPMD
+    `jax.sharding.Mesh`: params replicated, batch sharded on the `data` axis; the
+    gradient all-reduce is compiled into the jitted step.
+  - AMP GradScaler (base.py:122) is unnecessary: compute runs bf16 with f32 params.
+  - checkpoints are Orbax directories, not .pth pickles (utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.schedules import make_schedule
+from ..models.unet import make_unet, param_count
+from ..models.vqvae import VQVAE, PassthroughVQVAE
+from ..parallel import mesh as pmesh
+from ..train.ddpm import make_ddpm_state
+from ..utils import checkpoint as ckpt
+from ..utils.logging import info
+
+
+def _as_tuple(value):
+    """Parse tuple-ish CLI values (the reference uses ast.literal_eval on flags)."""
+    if value is None or value == "" or value is False:
+        return None
+    if isinstance(value, (tuple, list)):
+        return tuple(value)
+    return tuple(ast.literal_eval(str(value)))
+
+
+def channels_last(images: np.ndarray) -> np.ndarray:
+    """Host batches arrive channel-first (reference data layout); models run NHWC."""
+    return np.moveaxis(images, 1, -1)
+
+
+class BaseTrainer:
+    def __init__(self, args):
+        pmesh.initialize_multihost()
+        self.mesh = pmesh.make_mesh()
+        info(f"Arguments: {args}")
+        for k, v in sorted(vars(args).items()):
+            info(f"  {k}: {v}")
+        info(
+            f"Mesh: {self.mesh.shape} over {len(jax.devices())} device(s), "
+            f"process {jax.process_index()}/{jax.process_count()}"
+        )
+
+        self.spatial_dimension = int(args.spatial_dimension)
+        self.image_size = int(args.image_size) if args.image_size else args.image_size
+        self.image_roi = _as_tuple(getattr(args, "image_roi", None))
+        self.is_grayscale = bool(getattr(args, "is_grayscale", False))
+        self.dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+        # -- frozen VQ-VAE (LDM) or passthrough (pixel-space) ----------------------
+        self.vqvae_checkpoint = getattr(args, "vqvae_checkpoint", None)
+        if self.vqvae_checkpoint:
+            vq_path = Path(self.vqvae_checkpoint)
+            cfg_path = vq_path.parent / "vqvae_config.json"
+            if not vq_path.exists():
+                raise FileNotFoundError(f"Cannot find VQ-VAE checkpoint {vq_path}")
+            if not cfg_path.exists():
+                raise FileNotFoundError(f"Cannot find VQ-VAE config {cfg_path}")
+            self.vqvae_config = ckpt.load_config_json(cfg_path)
+            cfg = dict(self.vqvae_config)
+            for key in ("downsample_parameters", "upsample_parameters",
+                        "num_channels", "num_res_channels"):
+                if key in cfg:
+                    cfg[key] = tuple(
+                        tuple(v) if isinstance(v, (list, tuple)) else v
+                        for v in cfg[key]
+                    ) if isinstance(cfg[key], (list, tuple)) else cfg[key]
+            self.vqvae_model = VQVAE(**cfg, dtype=self.dtype)
+            payload = ckpt.restore_checkpoint(vq_path)
+            self.vqvae_vars = {
+                "params": payload["model_state_dict"]["params"],
+                "ema": payload["model_state_dict"]["ema"],
+            }
+            info("Loaded vqvae model with config:")
+            for k, v in self.vqvae_config.items():
+                info(f"  {k}: {v}")
+            ddpm_channels = int(self.vqvae_config["embedding_dim"])
+        else:
+            self.vqvae_model = PassthroughVQVAE()
+            self.vqvae_vars = None
+            ddpm_channels = 1 if self.is_grayscale else 3
+        self.ddpm_channels = ddpm_channels
+
+        # -- UNet ------------------------------------------------------------------
+        self.unet = make_unet(
+            args.model_type,
+            self.spatial_dimension,
+            ddpm_channels,
+            ddpm_channels,
+            dtype=self.dtype,
+        )
+
+        # -- schedule --------------------------------------------------------------
+        self.prediction_type = args.prediction_type
+        self.beta_schedule = args.beta_schedule
+        self.beta_start = float(args.beta_start)
+        self.beta_end = float(args.beta_end)
+        self.b_scale = float(args.b_scale)
+        self.snr_shift = float(getattr(args, "snr_shift", 1))
+        self.sched = make_schedule(
+            schedule=self.beta_schedule,
+            num_train_timesteps=1000,
+            beta_start=self.beta_start,
+            beta_end=self.beta_end,
+            prediction_type=self.prediction_type,
+            snr_shift=self.snr_shift,
+        )
+        if self.snr_shift != 1:
+            info("Changing scheduler parameters to shift SNR")
+
+        self.simplex_noise = bool(getattr(args, "simplex_noise", 0))
+
+        # -- latent pad ------------------------------------------------------------
+        latent_pad = _as_tuple(getattr(args, "latent_pad", None))
+        self.do_latent_pad = bool(latent_pad)
+        self.latent_pad = latent_pad if latent_pad else None
+
+        # -- sample geometry + train state ----------------------------------------
+        self.run_dir = Path(args.output_dir) / args.model_name
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        sample_shape = self._latent_sample_shape()
+        rng = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
+        self.state = make_ddpm_state(self.unet, rng, sample_shape, learning_rate=2.5e-5)
+        info(f"{param_count(self.state.params):,} model parameters")
+
+        # -- resume ----------------------------------------------------------------
+        resume_epoch = getattr(args, "ddpm_checkpoint_epoch", None)
+        path = ckpt.find_checkpoint(
+            self.run_dir, int(resume_epoch) if resume_epoch else None
+        )
+        if path is not None:
+            template = {
+                "epoch": 0,
+                "global_step": 0,
+                "best_loss": 0.0,
+                "model_state_dict": ckpt.to_host(self.state.params),
+                "optimizer_state_dict": ckpt.to_host(self.state.opt_state),
+            }
+            payload = ckpt.restore_checkpoint(path, template)
+            self.found_checkpoint = True
+            self.start_epoch = int(payload["epoch"])
+            self.global_step = int(payload["global_step"])
+            self.best_loss = float(payload["best_loss"])
+            self.state = self.state.replace(
+                params=payload["model_state_dict"],
+                opt_state=jax.tree_util.tree_map(
+                    lambda t, s: jnp.asarray(s).astype(t.dtype)
+                    if hasattr(t, "dtype") else s,
+                    self.state.opt_state,
+                    payload["optimizer_state_dict"],
+                ),
+            )
+            info(f"Resuming training using checkpoint {path} at epoch {self.start_epoch}")
+        else:
+            self.found_checkpoint = False
+            self.start_epoch = 0
+            self.global_step = 0
+            self.best_loss = 1000.0
+
+        self.quick_test = bool(getattr(args, "quick_test", 0))
+
+    # -- stage-2 hooks (pixel-space: identity) ------------------------------------
+    def encode_fn(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.vqvae_vars is None:
+            return x
+        return self.vqvae_model.apply(
+            self.vqvae_vars, x, method=VQVAE.encode_stage_2_inputs
+        )
+
+    def decode_fn(self, z: jnp.ndarray) -> jnp.ndarray:
+        if self.vqvae_vars is None:
+            return z
+        return self.vqvae_model.apply(
+            self.vqvae_vars, z, method=VQVAE.decode_stage_2_outputs
+        )
+
+    def _latent_sample_shape(self):
+        """(spatial..., C) of the tensor the UNet consumes, for param init."""
+        size = self.image_size or 32
+        spatial = (size,) * self.spatial_dimension
+        if self.image_roi and not self.image_size:
+            spatial = tuple(self.image_roi)
+        if self.vqvae_vars is not None:
+            strides = [p[0] for p in self.vqvae_config["downsample_parameters"]]
+            factor = int(np.prod(strides))
+            spatial = tuple(max(1, s // factor) for s in spatial)
+        if self.do_latent_pad:
+            pairs = [
+                (self.latent_pad[2 * i], self.latent_pad[2 * i + 1])
+                for i in range(len(self.latent_pad) // 2)
+            ][::-1]
+            pairs = [(0, 0)] * (len(spatial) - len(pairs)) + list(pairs)
+            spatial = tuple(s + lo + hi for s, (lo, hi) in zip(spatial, pairs))
+        return spatial + (self.ddpm_channels,)
+
+    def model_fn(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """UNet apply closed over current params (for samplers/sweeps)."""
+        return self.state.apply_fn({"params": self.state.params}, x, t)
+
+    def shard(self, batch: np.ndarray) -> jax.Array:
+        return pmesh.shard_batch(self.mesh, batch)
+
+    def save_checkpoint(self, name: str, epoch: int, save_message: Optional[str] = None):
+        """Reference schema (base.py:166-187): epoch+1 so resume starts on the next
+        epoch; params saved unwrapped (no DDP wrapper exists here by construction)."""
+        if save_message:
+            info(save_message)
+        payload = {
+            "epoch": int(epoch) + 1,
+            "global_step": int(self.global_step),
+            "best_loss": float(self.best_loss),
+            "model_state_dict": ckpt.to_host(self.state.params),
+            "optimizer_state_dict": ckpt.to_host(self.state.opt_state),
+        }
+        ckpt.save_checkpoint(self.run_dir, name, payload)

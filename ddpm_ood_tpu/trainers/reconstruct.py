@@ -1,0 +1,207 @@
+"""Reconstruction pipeline: the OOD inference workload, batched on device.
+
+Capability parity with the reference Reconstruct (src/trainers/reconstruct.py):
+requires a found checkpoint (:31-32), builds val/in loaders `only_val=True`
+(:38-70), sweeps every start timestep with a PLMS denoise, decodes, and writes
+per-(image, t_start) rows {filename, type, t, perceptual_difference, mse} into
+`ood/results_{val,in,<name>[_vflip|_hflip]}.csv` (:192-204, 252-330).
+
+TPU-first difference: the reference's triple-nested Python loop (batch x t_start x
+PLMS step, :97-157) is replaced by the batched sweep program (recon/sweep.py) —
+one `lax.scan` over the PLMS grid carrying ALL t_start lanes, with the UNet
+evaluated once per step on the flattened lane*batch mega-batch, and MSE/LPIPS
+computed on device. Multi-host: each process scores its own data shard and rank-0
+concatenates per-host CSV shards (replacing `all_gather_object`, :237-248; the
+scorer's dedup keeps compatibility with even_divisible padding).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..data.loader import get_training_data_loader
+from ..losses.lpips import PerceptualLoss
+from ..noise.simplex import simplex_noise_device
+from ..recon.sweep import ReconProgram
+from ..utils.logging import info
+from .base import BaseTrainer, channels_last
+
+
+def _stem(filename: str) -> str:
+    return Path(filename).stem.replace(".nii", "").replace(".gz", "")
+
+
+class Reconstruct(BaseTrainer):
+    def __init__(self, args):
+        # fail fast BEFORE device/model init: reconstruction without a trained
+        # checkpoint is always an error (reference reconstruct.py:31-32)
+        from pathlib import Path as _P
+
+        from ..utils.checkpoint import find_checkpoint
+
+        resume_epoch = getattr(args, "ddpm_checkpoint_epoch", None)
+        pre = find_checkpoint(
+            _P(args.output_dir) / args.model_name,
+            int(resume_epoch) if resume_epoch else None,
+        )
+        if pre is None:
+            raise FileNotFoundError("Failed to find a saved model checkpoint.")
+        super().__init__(args)
+        if not self.found_checkpoint:
+            raise FileNotFoundError("Failed to find a saved model checkpoint.")
+        self.out_dir = self.run_dir / "ood"
+        self.out_dir.mkdir(exist_ok=True)
+        self.args = args
+
+        def make_loader(ids, first_n, **kw):
+            return get_training_data_loader(
+                batch_size=args.batch_size,
+                training_ids=ids,
+                validation_ids=ids,
+                augmentation=bool(args.augmentation),
+                only_val=True,
+                num_workers=args.num_workers,
+                num_val_workers=args.num_workers,
+                cache_data=bool(args.cache_data),
+                drop_last=bool(getattr(args, "drop_last", 0)),
+                first_n=int(first_n) if first_n else first_n,
+                is_grayscale=bool(args.is_grayscale),
+                spatial_dimension=args.spatial_dimension,
+                image_size=self.image_size,
+                image_roi=self.image_roi,
+                num_processes=jax.process_count(),
+                process_index=jax.process_index(),
+                **kw,
+            )
+
+        self._make_loader = make_loader
+        self.val_loader = make_loader(args.validation_ids, args.first_n_val)
+        self.in_loader = make_loader(args.in_ids, args.first_n)
+        self._perceptual: Optional[PerceptualLoss] = None
+        self._programs = {}
+
+    # ---------------------------------------------------------------- scoring --
+    def _perceptual_fn(self):
+        if self._perceptual is None:
+            self._perceptual = PerceptualLoss(
+                dimensions=self.spatial_dimension,
+                is_fake_3d=self.spatial_dimension == 3,
+                lpips_normalize=True,
+            )
+        return self._perceptual
+
+    def _program(self, skip_factor: int) -> ReconProgram:
+        if skip_factor not in self._programs:
+            self._programs[skip_factor] = ReconProgram(
+                sched=self.sched,
+                model_fn=self.model_fn,
+                num_inference_steps=int(
+                    getattr(self.args, "num_inference_steps", 100)
+                ),
+                inference_skip_factor=int(skip_factor),
+                b_scale=self.b_scale,
+                latent_pad=self.latent_pad,
+                encode_fn=self.encode_fn if self.vqvae_vars is not None else None,
+                decode_fn=self.decode_fn if self.vqvae_vars is not None else None,
+                perceptual_fn=self._perceptual_fn(),
+                simplex_noise_fn=self._sweep_simplex if self.simplex_noise else None,
+            )
+        return self._programs[skip_factor]
+
+    def _sweep_simplex(self, rng, shape, t_starts):
+        """(K, B, *spatial, C) structured noise, one fixed-T plane set per lane."""
+        import jax.numpy as jnp
+
+        K = shape[0]
+        keys = jax.random.split(rng, K)
+        return jax.vmap(
+            lambda k, t: simplex_noise_device(
+                k, shape[1:], jnp.full((shape[1],), t, dtype=jnp.int32)
+            )
+        )(keys, t_starts)
+
+    def get_scores(self, loader, dataset_name: str, inference_skip_factor: int) -> List[dict]:
+        info(f"{jax.process_index()}: {dataset_name}")
+        program = self._program(inference_skip_factor)
+        rng = jax.random.PRNGKey(777 + jax.process_index())
+        results: List[dict] = []
+        for batch in loader:
+            t1 = time.time()
+            images = channels_last(batch["image"])
+            rng, sub = jax.random.split(rng)
+            t_starts, mse, perc = program(self.shard(images), sub)
+            mse = np.asarray(mse)  # (K, B)
+            perc = np.asarray(perc)
+            for k, t_start in enumerate(t_starts):
+                for b, filename in enumerate(batch["filename"]):
+                    results.append(
+                        {
+                            "filename": _stem(filename),
+                            "type": dataset_name,
+                            "t": int(t_start),
+                            "perceptual_difference": float(perc[k, b]),
+                            "mse": float(mse[k, b]),
+                        }
+                    )
+            t2 = time.time()
+            info(
+                f"Took {t2 - t1:.2f}s for a batch size of {images.shape[0]} "
+                f"({len(t_starts) * images.shape[0] / (t2 - t1):.1f} recons/s)"
+            )
+        return results
+
+    def _write(self, results: List[dict], name: str) -> None:
+        """Per-host shard CSVs merged by rank 0 (replaces all_gather_object)."""
+        df = pd.DataFrame(results)
+        if jax.process_count() == 1:
+            df.to_csv(self.out_dir / f"results_{name}.csv")
+            return
+        shard_path = self.out_dir / f".results_{name}.shard{jax.process_index()}.csv"
+        df.to_csv(shard_path)
+        # barrier so every shard is on disk before rank 0 merges
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"recon_write_{name}")
+        if jax.process_index() == 0:
+            shards = sorted(self.out_dir.glob(f".results_{name}.shard*.csv"))
+            merged = pd.concat([pd.read_csv(s, index_col=0) for s in shards],
+                               ignore_index=True)
+            merged.to_csv(self.out_dir / f"results_{name}.csv")
+
+    # ------------------------------------------------------------------- main --
+    def reconstruct(self, args) -> None:
+        if bool(args.run_val):
+            self._write(
+                self.get_scores(self.val_loader, "val", args.inference_skip_factor),
+                "val",
+            )
+        if bool(args.run_in):
+            self._write(
+                self.get_scores(self.in_loader, "in", args.inference_skip_factor),
+                "in",
+            )
+        if bool(args.run_out):
+            for out in args.out_ids.split(","):
+                info(out)
+                flip_kw = {}
+                if "vflip" in out:
+                    out = out.replace("_vflip", "")
+                    flip_kw["add_vflip"] = True
+                    dataset_name = Path(out).stem.split("_")[0] + "_vflip"
+                elif "hflip" in out:
+                    out = out.replace("_hflip", "")
+                    flip_kw["add_hflip"] = True
+                    dataset_name = Path(out).stem.split("_")[0] + "_hflip"
+                else:
+                    dataset_name = Path(out).stem.split("_")[0]
+                out_loader = self._make_loader(out, args.first_n, **flip_kw)
+                self._write(
+                    self.get_scores(out_loader, "out", args.inference_skip_factor),
+                    dataset_name,
+                )
