@@ -255,6 +255,11 @@ class PerceptualLoss:
         self.params = params if params is not None else load_lpips_params(weights_path)
 
     def _lpips2d(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        # sub-32px slices would collapse AlexNet's pool chain to zero-size (NaN);
+        # zero-pad up to 32 (identical to the reference's 28->32 rule where both
+        # apply, a no-op for >=32 inputs)
+        x = pad_to_min_32(x)
+        y = pad_to_min_32(y)
         return self.module.apply(self.params, x, y, normalize=self.lpips_normalize)
 
     def __call__(self, y: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
@@ -275,6 +280,14 @@ class PerceptualLoss:
         for perm, (h, w) in specs:
             ys = jnp.transpose(y, perm).reshape(-1, h, w, C)
             ps = jnp.transpose(y_pred, perm).reshape(-1, h, w, C)
+            if self.keep_ratio < 1.0:
+                # memory/speed compromise like the reference's drop_ratio slice
+                # subsampling (perceptual_loss.py:168-176) — strided (static,
+                # jit-safe) instead of randperm
+                keep = max(1, int(ys.shape[0] * self.keep_ratio))
+                stride = max(1, ys.shape[0] // keep)
+                ys = ys[::stride][:keep]
+                ps = ps[::stride][:keep]
             views.append(jnp.mean(self._lpips2d(ys, ps)))
         if self.average_views:
             return jnp.mean(jnp.stack(views))

@@ -104,10 +104,16 @@ class AttentionBlock(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         scale = 1.0 / math.sqrt(head_dim)
-        # f32 softmax for stability; matmuls ride the MXU.
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits * scale, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
+        # (B, N, H, D) -> (B, H, N, D); ops.attention picks the Pallas flash
+        # kernel for long 3D sequences, fused XLA einsum otherwise
+        from ..ops.attention import attention
+
+        out = attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            scale,
+        ).transpose(0, 2, 1, 3)
         out = out.astype(self.dtype).reshape(batch, -1, ch)
         out = nn.Dense(ch, dtype=self.dtype, name="proj_attn")(out)
         return x + out.reshape((batch,) + spatial_shape + (ch,))

@@ -188,7 +188,9 @@ class EMAQuantizer(nn.Module):
         embed_avg = self.variable("ema", "embed_avg", lambda: jnp.array(emb.value))
 
         flat = z.reshape(-1, self.embedding_dim).astype(jnp.float32)
-        e = emb.value
+        # jnp-ify: restored checkpoints hold numpy arrays, and numpy fancy-
+        # indexing with a traced idx raises TracerArrayConversionError
+        e = jnp.asarray(emb.value)
         # squared L2 distances via the MXU: |x|^2 - 2 x.e + |e|^2
         dist = (
             jnp.sum(flat**2, axis=1, keepdims=True)

@@ -160,10 +160,12 @@ class BaseTrainer:
             self.start_epoch = int(payload["epoch"])
             self.global_step = int(payload["global_step"])
             self.best_loss = float(payload["best_loss"])
+            # host-side dtype casts: per-leaf device ops here would issue hundreds
+            # of tiny RPCs through the TPU tunnel (observed multi-minute resumes)
             self.state = self.state.replace(
                 params=payload["model_state_dict"],
                 opt_state=jax.tree_util.tree_map(
-                    lambda t, s: jnp.asarray(s).astype(t.dtype)
+                    lambda t, s: np.asarray(s, dtype=t.dtype)
                     if hasattr(t, "dtype") else s,
                     self.state.opt_state,
                     payload["optimizer_state_dict"],

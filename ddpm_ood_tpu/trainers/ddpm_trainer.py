@@ -97,6 +97,19 @@ class DDPMTrainer(BaseTrainer):
         epoch_loss = 0.0
         epoch_images = 0
         t0 = time.time()
+        # keep losses on device and flush in chunks: reading `float(loss)` every
+        # step would force a host sync per step and serialize dispatch (the
+        # reference's .item() per step does exactly that, ddpm_trainer.py:110)
+        pending = []
+
+        def flush():
+            nonlocal epoch_loss
+            for gstep, bsz, dev_loss in pending:
+                val = float(dev_loss)
+                epoch_loss += val * bsz
+                self.logger_train.add_scalar("loss", val, gstep)
+            pending.clear()
+
         for step, batch in enumerate(self.train_loader):
             images = channels_last(batch["image"])
             bsz = images.shape[0]
@@ -109,13 +122,14 @@ class DDPMTrainer(BaseTrainer):
             else:
                 self.rng, key = jax.random.split(self.rng)
                 self.state, loss = self._train_step(self.state, device_batch, key)
-            loss = float(loss)
             self.global_step += bsz
-            epoch_loss += loss * bsz
             epoch_images += bsz
-            self.logger_train.add_scalar("loss", loss, self.global_step)
+            pending.append((self.global_step, bsz, loss))
+            if len(pending) >= 32:
+                flush()
             if self.quick_test:
                 break
+        flush()
         dt = time.time() - t0
         info(
             f"Epoch {epoch}: train loss {epoch_loss / max(epoch_images, 1):.6f} "

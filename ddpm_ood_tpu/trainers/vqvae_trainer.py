@@ -239,6 +239,25 @@ class VQVAETrainer:
             adversarial_weight(self.adv_weight, epoch, self.adversarial_warmup),
             dtype=jnp.float32,
         )
+        # device-side metric buffering: a host sync per scalar per step would
+        # serialize dispatch; flush in chunks instead
+        pending = []
+        tags = ("l1_loss", "perceptual_loss", "jukebox_loss",
+                "adversarial_loss", "generator_loss")
+
+        def flush():
+            nonlocal gen_loss_sum, disc_loss_sum, l1_sum
+            for gstep, bsz, metrics, d_loss in pending:
+                vals = {t: float(metrics[t]) for t in tags}
+                dval = float(d_loss)
+                gen_loss_sum += vals["generator_loss"] * bsz
+                disc_loss_sum += dval * bsz
+                l1_sum += vals["l1_loss"] * bsz
+                for t in tags:
+                    self.logger_train.add_scalar(t, vals[t], gstep)
+                self.logger_train.add_scalar("discriminator_loss", dval, gstep)
+            pending.clear()
+
         for step, batch in enumerate(self.train_loader):
             images = self.shard(channels_last(batch["image"]))
             self.g_state, metrics = self._g_step(
@@ -250,17 +269,15 @@ class VQVAETrainer:
             bsz = batch["image"].shape[0]
             self.global_step += bsz
             images_seen += bsz
-            gen_loss_sum += float(metrics["generator_loss"]) * bsz
-            disc_loss_sum += float(d_loss) * bsz
-            l1_sum += float(metrics["l1_loss"]) * bsz
-            for tag in ("l1_loss", "perceptual_loss", "jukebox_loss",
-                        "adversarial_loss", "generator_loss"):
-                self.logger_train.add_scalar(tag, float(metrics[tag]), self.global_step)
-            self.logger_train.add_scalar(
-                "discriminator_loss", float(d_loss), self.global_step
+            pending.append(
+                (self.global_step, bsz,
+                 {t: metrics[t] for t in tags}, d_loss)
             )
+            if len(pending) >= 16:
+                flush()
             if self.quick_test:
                 break
+        flush()
         dt = time.time() - t0
         info(
             f"Epoch {epoch}: G {gen_loss_sum / max(images_seen, 1):.5f} "
