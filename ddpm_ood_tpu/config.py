@@ -221,6 +221,11 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "--inference_skip_factor", type=int, default=1,
         help="Only reconstruct from every n-th start timestep.",
     )
+    parser.add_argument(
+        "--sampler", default="plms", choices=("plms", "ddim"),
+        help="Reconstruction sampler (framework extension; the reference is "
+        "PLMS-only). DDIM is deterministic and cheaper per step.",
+    )
     args = parser.parse_args(argv)
     if args.eval_checkpoint and not args.ddpm_checkpoint_epoch:
         args.ddpm_checkpoint_epoch = args.eval_checkpoint

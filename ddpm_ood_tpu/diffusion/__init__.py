@@ -9,6 +9,7 @@ from .schedules import (  # noqa: F401
     epsilon_from_model_output,
 )
 from .ddpm import ddpm_step, ddpm_sample  # noqa: F401
+from .ddim import ddim_step, ddim_denoise, ddim_timesteps  # noqa: F401
 from .plms import (  # noqa: F401
     PLMSState,
     pndm_timesteps,

@@ -84,6 +84,42 @@ def plms_sweep(
     return state.x
 
 
+def ddim_sweep(
+    sched: NoiseSchedule,
+    model_fn: ModelFn,
+    x0: jnp.ndarray,
+    noise: jnp.ndarray,
+    timesteps_desc: jnp.ndarray,
+    t_starts: jnp.ndarray,
+    num_inference_steps: int,
+    b_scale: float = 1.0,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """DDIM variant of the multi-lane sweep (state carry is just x — no epsilon
+    history), same lane-masking contract as plms_sweep."""
+    from ..diffusion.ddim import ddim_step
+
+    K = t_starts.shape[0]
+    B = x0.shape[0]
+    sample_shape = x0.shape
+    step_ratio = sched.num_train_timesteps // num_inference_steps
+
+    x = jax.vmap(lambda n, t: add_noise(sched, x0 * b_scale, n, t))(noise, t_starts)
+
+    def body(x, t):
+        x_flat = x.reshape((K * B,) + sample_shape[1:])
+        t_flat = jnp.full((K * B,), t, dtype=jnp.int32)
+        out = model_fn(x_flat, t_flat).reshape((K, B) + sample_shape[1:])
+        active = (t <= t_starts).reshape((K,) + (1,) * len(sample_shape))
+        new_x = jax.vmap(
+            lambda xx, oo: ddim_step(sched, oo, t, t - step_ratio, xx, eta=eta)
+        )(x, out)
+        return jnp.where(active, new_x, x), None
+
+    x, _ = jax.lax.scan(body, x, timesteps_desc)
+    return x
+
+
 def group_t_starts(
     timesteps_desc: np.ndarray, t_starts: np.ndarray, num_groups: int
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -116,6 +152,7 @@ class ReconProgram:
     inference_skip_factor: int = 1
     b_scale: float = 1.0
     num_groups: int = 4
+    sampler: str = "plms"  # "plms" (reference parity) | "ddim" (extension)
     latent_pad: Optional[Tuple[int, ...]] = None
     # stage-2 hooks; identity for pixel-space models (PassthroughVQVAE parity)
     encode_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
@@ -125,9 +162,18 @@ class ReconProgram:
     simplex_noise_fn: Optional[Callable] = None  # (rng, shape, t_starts) -> noise
 
     def __post_init__(self):
-        self.timesteps_desc = pndm_timesteps(
-            self.sched.num_train_timesteps, self.num_inference_steps
-        )
+        if self.sampler == "ddim":
+            from ..diffusion.ddim import ddim_timesteps
+
+            self.timesteps_desc = ddim_timesteps(
+                self.sched.num_train_timesteps, self.num_inference_steps
+            )
+        elif self.sampler == "plms":
+            self.timesteps_desc = pndm_timesteps(
+                self.sched.num_train_timesteps, self.num_inference_steps
+            )
+        else:
+            raise ValueError(f"Unknown sampler {self.sampler!r}")
         self.t_starts = pndm_start_points(
             self.timesteps_desc, self.inference_skip_factor
         )
@@ -156,7 +202,8 @@ class ReconProgram:
             else:
                 noise = jax.random.normal(rng, noise_shape, dtype=x.dtype)
 
-            recon = plms_sweep(
+            sweep = plms_sweep if self.sampler == "plms" else ddim_sweep
+            recon = sweep(
                 self.sched,
                 self.model_fn,
                 x,

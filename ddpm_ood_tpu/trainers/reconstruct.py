@@ -106,6 +106,7 @@ class Reconstruct(BaseTrainer):
                 ),
                 inference_skip_factor=int(skip_factor),
                 b_scale=self.b_scale,
+                sampler=getattr(self.args, "sampler", "plms"),
                 latent_pad=self.latent_pad,
                 encode_fn=self.encode_fn if self.vqvae_vars is not None else None,
                 decode_fn=self.decode_fn if self.vqvae_vars is not None else None,
