@@ -32,19 +32,22 @@ def _use_native_fft() -> bool:
 
 @functools.lru_cache(maxsize=32)
 def _dft_mats(n: int, norm: str):
+    # cache NUMPY constants: caching jnp arrays would capture tracers when the
+    # first call happens under jit and leak them into later traces
     k = np.arange(n)
     ang = -2.0 * np.pi * np.outer(k, k) / n
     scale = 1.0 / np.sqrt(n) if norm == "ortho" else 1.0
     return (
-        jnp.asarray((np.cos(ang) * scale).astype(np.float32)),
-        jnp.asarray((np.sin(ang) * scale).astype(np.float32)),
+        (np.cos(ang) * scale).astype(np.float32),
+        (np.sin(ang) * scale).astype(np.float32),
     )
 
 
 def _apply_axis(re: jnp.ndarray, im: jnp.ndarray, ax: int, norm: str):
     """One separable DFT stage along `ax` using real arithmetic:
     (re + i im) @ (C + i S) = (re@C - im@S) + i(re@S + im@C)."""
-    c, s = _dft_mats(re.shape[ax], norm)
+    c_np, s_np = _dft_mats(re.shape[ax], norm)
+    c, s = jnp.asarray(c_np), jnp.asarray(s_np)
 
     def mm(x, m):
         return jnp.moveaxis(

@@ -164,12 +164,20 @@ class DiffusionModelUNet(nn.Module):
     num_head_channels: int = 256
     norm_num_groups: int = 32
     dtype: Dtype = jnp.float32
+    # rematerialize res/attention blocks in the backward pass — trades FLOPs for
+    # HBM, the standard TPU recipe for the "big" 3D configs whose activations
+    # would not otherwise fit (SURVEY.md §7 hard parts: 3D at [160,160,128])
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         assert x.ndim == self.spatial_dims + 2, (
             f"expected (B, *spatial x{self.spatial_dims}, C), got {x.shape}"
         )
+        Res, Attn = ResnetBlock, AttentionBlock
+        if self.remat:
+            Res = nn.remat(ResnetBlock)
+            Attn = nn.remat(AttentionBlock)
         chs = tuple(self.num_channels)
         n_levels = len(chs)
         temb = timestep_embedding(t, chs[0])
@@ -186,14 +194,14 @@ class DiffusionModelUNet(nn.Module):
         skips = [h]
         for level in range(n_levels):
             for block in range(self.num_res_blocks):
-                h = ResnetBlock(
+                h = Res(
                     chs[level],
                     self.norm_num_groups,
                     self.dtype,
                     name=f"down_{level}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
-                    h = AttentionBlock(
+                    h = Attn(
                         self.num_head_channels,
                         self.norm_num_groups,
                         self.dtype,
@@ -204,23 +212,23 @@ class DiffusionModelUNet(nn.Module):
                 h = Downsample(chs[level], self.dtype, name=f"down_{level}_downsample")(h)
                 skips.append(h)
 
-        h = ResnetBlock(chs[-1], self.norm_num_groups, self.dtype, name="mid_res_0")(h, temb)
-        h = AttentionBlock(
+        h = Res(chs[-1], self.norm_num_groups, self.dtype, name="mid_res_0")(h, temb)
+        h = Attn(
             self.num_head_channels, self.norm_num_groups, self.dtype, name="mid_attn"
         )(h)
-        h = ResnetBlock(chs[-1], self.norm_num_groups, self.dtype, name="mid_res_1")(h, temb)
+        h = Res(chs[-1], self.norm_num_groups, self.dtype, name="mid_res_1")(h, temb)
 
         for i, level in enumerate(reversed(range(n_levels))):
             for block in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ResnetBlock(
+                h = Res(
                     chs[level],
                     self.norm_num_groups,
                     self.dtype,
                     name=f"up_{i}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
-                    h = AttentionBlock(
+                    h = Attn(
                         self.num_head_channels,
                         self.norm_num_groups,
                         self.dtype,
