@@ -35,7 +35,10 @@ from ddpm_ood_tpu.recon.sweep import group_t_starts, plms_sweep
 import os
 
 QUICK = bool(int(os.environ.get("BENCH_QUICK", "0")))  # CPU smoke mode
-BATCH = 4 if QUICK else 32
+# measured on chip: the sweep is compute-bound inside the scan (254 recons/s at
+# batch 32 vs 241 at 128 — per-call RPC overhead only affects un-scanned code),
+# so a moderate batch suffices
+BATCH = 4 if QUICK else int(os.environ.get("BENCH_BATCH", "32"))
 IMAGE = 32
 STEPS = 10 if QUICK else 100
 SKIP = 4
