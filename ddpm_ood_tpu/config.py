@@ -91,6 +91,11 @@ def parse_args_train_ddpm(argv=None) -> argparse.Namespace:
         "--quick_test", type=int, default=0,
         help="Run a single batch of the train and eval loops.",
     )
+    parser.add_argument(
+        "--profile_dir", default=None,
+        help="Capture a jax.profiler device trace of a few warm train steps into "
+        "this directory (framework extension; TensorBoard-loadable).",
+    )
     return parser.parse_args(argv)
 
 

@@ -63,6 +63,7 @@ class DDPMTrainer(BaseTrainer):
         if self.simplex_noise:
             self.simplex = Simplex()
         self.rng = jax.random.PRNGKey(1234 + jax.process_index())
+        self.profile_dir = getattr(args, "profile_dir", None)
 
     # ------------------------------------------------------------------ train --
     def train(self, args):
@@ -110,7 +111,13 @@ class DDPMTrainer(BaseTrainer):
                 self.logger_train.add_scalar("loss", val, gstep)
             pending.clear()
 
+        profiling = False
         for step, batch in enumerate(self.train_loader):
+            # device trace of warm steps 2-4 of the first epoch (SURVEY.md §5:
+            # the reference has no tracing; this is the rebuild's profiler hook)
+            if self.profile_dir and epoch == self.start_epoch and step == 2:
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
             images = channels_last(batch["image"])
             bsz = images.shape[0]
             device_batch = self.shard(images)
@@ -125,10 +132,17 @@ class DDPMTrainer(BaseTrainer):
             self.global_step += bsz
             epoch_images += bsz
             pending.append((self.global_step, bsz, loss))
+            if profiling and step >= 4:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling = False
+                info(f"Wrote device trace to {self.profile_dir}")
             if len(pending) >= 32:
                 flush()
             if self.quick_test:
                 break
+        if profiling:
+            jax.profiler.stop_trace()
         flush()
         dt = time.time() - t0
         info(
