@@ -16,7 +16,6 @@ Replaces the reference's MONAI CacheDataset/ThreadDataLoader stack
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np

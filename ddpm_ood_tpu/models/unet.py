@@ -22,7 +22,7 @@ TPU-first choices (not a torch translation):
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

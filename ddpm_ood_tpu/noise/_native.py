@@ -10,7 +10,6 @@ fall back to the JAX device path (noise/simplex.py).
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -1,7 +1,6 @@
 """Data pipeline: CSV split format, transform chain, loader, partitioning."""
 
 import numpy as np
-import pytest
 
 from ddpm_ood_tpu.data.csv_splits import (
     get_data_dicts,

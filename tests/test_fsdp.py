@@ -1,7 +1,6 @@
 """FSDP param sharding: same numerics as replicated DP, params actually sharded."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

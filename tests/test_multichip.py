@@ -13,7 +13,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ddpm_ood_tpu.diffusion.schedules import make_schedule
 from ddpm_ood_tpu.models.unet import make_unet
-from ddpm_ood_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from ddpm_ood_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from ddpm_ood_tpu.train.ddpm import DDPMTrainStep, make_ddpm_state
 
 pytestmark = pytest.mark.skipif(
