@@ -50,6 +50,9 @@ def channels_last(images: np.ndarray) -> np.ndarray:
 
 class BaseTrainer:
     def __init__(self, args):
+        from ..utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         pmesh.initialize_multihost()
         self.mesh = pmesh.make_mesh()
         info(f"Arguments: {args}")
@@ -226,11 +229,13 @@ class BaseTrainer:
         epoch; params saved unwrapped (no DDP wrapper exists here by construction)."""
         if save_message:
             info(save_message)
+        # device arrays go straight to orbax (async d2h + write); host-side
+        # per-leaf copies would cost seconds per save through a tunneled chip
         payload = {
             "epoch": int(epoch) + 1,
             "global_step": int(self.global_step),
             "best_loss": float(self.best_loss),
-            "model_state_dict": ckpt.to_host(self.state.params),
-            "optimizer_state_dict": ckpt.to_host(self.state.opt_state),
+            "model_state_dict": self.state.params,
+            "optimizer_state_dict": self.state.opt_state,
         }
         ckpt.save_checkpoint(self.run_dir, name, payload)

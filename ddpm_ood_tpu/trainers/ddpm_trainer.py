@@ -82,6 +82,9 @@ class DDPMTrainer(BaseTrainer):
                 )
             if (epoch + 1) % args.eval_freq == 0:
                 self.val_epoch(epoch)
+        from ..utils.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
         info("Training completed.")
 
     def _simplex_batch(self, images_cl: np.ndarray):

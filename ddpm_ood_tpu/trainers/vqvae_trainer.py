@@ -47,6 +47,9 @@ def _tuples(v):
 
 class VQVAETrainer:
     def __init__(self, args):
+        from ..utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         pmesh.initialize_multihost()
         self.mesh = pmesh.make_mesh()
         info(f"Arguments: {args}")
@@ -201,15 +204,15 @@ class VQVAETrainer:
             "global_step": int(self.global_step),
             "best_loss": float(self.best_loss),
             "model_state_dict": {
-                "params": ckpt.to_host(self.g_state.params),
-                "ema": ckpt.to_host(self.g_state.ema),
+                "params": self.g_state.params,
+                "ema": self.g_state.ema,
             },
             "discriminator_state_dict": {
-                "params": ckpt.to_host(self.d_state.params),
-                "batch_stats": ckpt.to_host(self.d_state.batch_stats),
+                "params": self.d_state.params,
+                "batch_stats": self.d_state.batch_stats,
             },
-            "optimizer_g_state_dict": ckpt.to_host(self.g_state.opt_state),
-            "optimizer_d_state_dict": ckpt.to_host(self.d_state.opt_state),
+            "optimizer_g_state_dict": self.g_state.opt_state,
+            "optimizer_d_state_dict": self.d_state.opt_state,
         }
         ckpt.save_checkpoint(self.run_dir, name, payload)
 
@@ -230,6 +233,7 @@ class VQVAETrainer:
                 )
             if (epoch + 1) % args.eval_freq == 0:
                 self.val_epoch(epoch)
+        ckpt.wait_for_checkpoints()
         info("Training completed.")
 
     def train_epoch(self, epoch: int) -> float:

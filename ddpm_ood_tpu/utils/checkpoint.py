@@ -26,19 +26,37 @@ import orbax.checkpoint as ocp
 
 _CKPT_RE = re.compile(r"^checkpoint_(\d+)$")
 
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
 
 def _checkpointer() -> ocp.Checkpointer:
     return ocp.StandardCheckpointer()
 
 
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
 def save_checkpoint(run_dir: str | Path, name: str, payload: Dict[str, Any]) -> Path:
-    """Save a payload tree as `<run_dir>/<name>` (rank-0 coordinates; Orbax handles
-    multi-host). Overwrites an existing checkpoint of the same name atomically."""
+    """Save a payload tree as `<run_dir>/<name>` — ASYNC: the device->host copy
+    happens now, serialization overlaps subsequent training (the rolling
+    best-on-train-loss checkpoint can fire every epoch, reference
+    ddpm_trainer.py:43-50, so synchronous writes would serialize the loop).
+    Waits for the previous in-flight save first; `wait_for_checkpoints()` flushes
+    at shutdown. Orbax handles multi-host coordination and atomic overwrite."""
     path = (Path(run_dir) / name).absolute()
-    ckptr = _checkpointer()
-    ckptr.save(path, payload, force=True)
+    ckptr = _async_checkpointer()
     ckptr.wait_until_finished()
+    ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
     return path
+
+
+def wait_for_checkpoints() -> None:
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def restore_checkpoint(

@@ -16,7 +16,10 @@ def _payload():
 
 
 def test_roundtrip(tmp_path):
+    # saves are async (overlap the train loop); flush before reading — the
+    # trainers do this at the end of train()
     ckpt.save_checkpoint(tmp_path, "checkpoint", _payload())
+    ckpt.wait_for_checkpoints()
     out = ckpt.restore_checkpoint(tmp_path / "checkpoint", _payload())
     assert int(out["epoch"]) == 5
     assert int(out["global_step"]) == 1234
@@ -29,9 +32,11 @@ def test_find_checkpoint_order(tmp_path):
     assert ckpt.find_checkpoint(tmp_path) is None
     ckpt.save_checkpoint(tmp_path, "checkpoint_10", _payload())
     ckpt.save_checkpoint(tmp_path, "checkpoint_2", _payload())
+    ckpt.wait_for_checkpoints()
     found = ckpt.find_checkpoint(tmp_path)
     assert found.name == "checkpoint_10"  # newest periodic when no rolling best
     ckpt.save_checkpoint(tmp_path, "checkpoint", _payload())
+    ckpt.wait_for_checkpoints()
     assert ckpt.find_checkpoint(tmp_path).name == "checkpoint"  # rolling wins
     assert ckpt.find_checkpoint(tmp_path, epoch=2).name == "checkpoint_2"
     assert ckpt.find_checkpoint(tmp_path, epoch=99) is None
