@@ -76,10 +76,22 @@ class Simplex:
         )
 
 
+# random_param octave/persistence/frequency table (reference
+# simplex_noise.py:29-55); drawn with python's `random` like the reference
+_RANDOM_PARAMS = [
+    (2, 0.6, 16), (6, 0.6, 32), (7, 0.7, 32), (10, 0.8, 64), (5, 0.8, 16),
+    (4, 0.6, 16), (1, 0.6, 64), (7, 0.8, 128), (6, 0.9, 64), (2, 0.85, 128),
+    (2, 0.85, 64), (2, 0.85, 32), (2, 0.85, 16), (2, 0.85, 8), (2, 0.85, 4),
+    (2, 0.85, 2), (1, 0.85, 128), (1, 0.85, 64), (1, 0.85, 32), (1, 0.85, 16),
+    (1, 0.85, 8), (1, 0.85, 4), (1, 0.85, 2),
+]
+
+
 def generate_simplex_noise(
     simplex: Simplex,
     x_shape: Sequence[int],
     t: np.ndarray,
+    random_param: bool = False,
     octave: int = 6,
     persistence: float = 0.8,
     frequency: float = 64,
@@ -105,6 +117,10 @@ def generate_simplex_noise(
     for i in range(c):
         for j in range(b):
             simplex.newSeed()
+            if random_param:
+                import random
+
+                octave, persistence, frequency = random.choice(_RANDOM_PARAMS)
             plane_noise = simplex.rand_3d_fixed_T_octaves(
                 plane, t[j], octave, persistence, frequency
             )[0].astype(np.float32)

@@ -244,22 +244,27 @@ class ReconProgram:
                     perc = jnp.broadcast_to(perc, mse.shape)
             else:
                 perc = jnp.zeros_like(mse)
-            return mse, perc
+            # small preview payload: the highest-t_start lane's recon for up to
+            # 8 images (reference renders per-batch previews, reconstruct.py:206-231)
+            preview = recon[-1, : min(8, recon.shape[1])]
+            return mse, perc, preview
 
         return jax.jit(program)
 
     def __call__(self, images: jnp.ndarray, rng: jax.Array):
-        """Score one batch. Returns (t_starts (K,), mse (K,B), perceptual (K,B))."""
+        """Score one batch. Returns (t_starts (K,), mse (K,B), perceptual (K,B));
+        the last group's preview recon is stashed on `self.last_preview`."""
         mses, percs, starts = [], [], []
         for gi, (ts_desc, t_starts) in enumerate(self._groups):
             key = (ts_desc.shape[0], t_starts.shape[0], images.shape)
             if key not in self._compiled:
                 self._compiled[key] = self._build(ts_desc, t_starts)
             rng, sub = jax.random.split(rng)
-            mse, perc = self._compiled[key](images, sub)
+            mse, perc, preview = self._compiled[key](images, sub)
             mses.append(mse)
             percs.append(perc)
             starts.append(t_starts)
+        self.last_preview = preview  # from the highest-t_start group
         return (
             np.concatenate(starts),
             jnp.concatenate(mses, axis=0),

@@ -132,6 +132,7 @@ class Reconstruct(BaseTrainer):
         program = self._program(inference_skip_factor)
         rng = jax.random.PRNGKey(777 + jax.process_index())
         results: List[dict] = []
+        preview_saved = False
         for batch in loader:
             t1 = time.time()
             images = channels_last(batch["image"])
@@ -155,7 +156,43 @@ class Reconstruct(BaseTrainer):
                 f"Took {t2 - t1:.2f}s for a batch size of {images.shape[0]} "
                 f"({len(t_starts) * images.shape[0] / (t2 - t1):.1f} recons/s)"
             )
+            if not preview_saved and jax.process_index() == 0:
+                # unique name per get_scores call (several out-datasets all carry
+                # dataset_name="out")
+                idx = self._preview_counter = getattr(self, "_preview_counter", 0) + 1
+                tag = dataset_name if dataset_name in ("val", "in") else (
+                    f"{dataset_name}_{idx}"
+                )
+                self._save_preview(images, np.asarray(program.last_preview), tag)
+                preview_saved = True
         return results
+
+    def _save_preview(self, images: np.ndarray, recon: np.ndarray,
+                      dataset_name: str) -> None:
+        """Original-vs-reconstruction grid for the first batch (the reference
+        renders per-batch previews when not distributed, reconstruct.py:206-231)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = min(len(recon), len(images), 8)
+        if n == 0:
+            return
+        fig, axes = plt.subplots(n, 2, figsize=(2, n), squeeze=False)
+        for i in range(n):
+            for j, arr in enumerate((images, recon)):
+                img = np.clip(np.asarray(arr[i]), 0, 1)
+                if img.ndim == 4:  # 3D volume: middle slice
+                    img = img[img.shape[0] // 2]
+                axes[i][j].imshow(
+                    img.squeeze(-1) if img.shape[-1] == 1 else img,
+                    cmap="gray" if img.shape[-1] == 1 else None,
+                )
+                axes[i][j].axis("off")
+        fig.savefig(self.out_dir / f"preview_{dataset_name}.png", dpi=100,
+                    bbox_inches="tight")
+        plt.close(fig)
 
     def _write(self, results: List[dict], name: str) -> None:
         """Per-host shard CSVs merged by rank 0 (replaces all_gather_object)."""
