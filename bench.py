@@ -46,7 +46,9 @@ MODEL = "tiny" if QUICK else "small"
 SEQ_SUBSET = 2 if QUICK else 4  # sequential baseline timed on a lane subset
 
 
-def _group_sweep(sched, model_fn, g_ts, g_starts, steps, x0, noise):
+def _group_sweep(sched, g_ts, g_starts, steps, model_fn, x0, noise):
+    # model_fn arrives as a jax.tree_util.Partial: weights are traced args, not
+    # HLO constants (remote compile services cap request size)
     return plms_sweep(sched, model_fn, x0, noise, g_ts, g_starts, steps)
 
 
@@ -68,8 +70,10 @@ def main() -> None:
     x = jnp.zeros((BATCH, IMAGE, IMAGE, 1), dtype=jnp.float32)
     params = unet.init(rng, x, jnp.zeros((BATCH,), jnp.int32))["params"]
 
-    def model_fn(xx, tt):
-        return unet.apply({"params": params}, xx, tt)
+    def _apply(p, xx, tt):
+        return unet.apply({"params": p}, xx, tt)
+
+    model_fn = jax.tree_util.Partial(_apply, params)
 
     ts = pndm_timesteps(1000, STEPS)
     t_starts = pndm_start_points(ts, SKIP)
@@ -84,7 +88,7 @@ def main() -> None:
     for g_ts, g_starts in groups:
         fn = jax.jit(
             functools.partial(
-                _group_sweep, sched, model_fn,
+                _group_sweep, sched,
                 jnp.asarray(g_ts), jnp.asarray(g_starts), STEPS,
             )
         )
@@ -94,7 +98,7 @@ def main() -> None:
     def batched(x0, noise):
         outs = []
         for fn, k, off in compiled:
-            outs.append(fn(x0, noise[off:off + k]))
+            outs.append(fn(model_fn, x0, noise[off:off + k]))
         return outs
 
     jax.block_until_ready(batched(x0, noise))  # compile
@@ -107,19 +111,19 @@ def main() -> None:
 
     # ---- sequential per-t_start loop (reference algorithm, same chip) ------------
     @jax.jit
-    def one_lane(x_start, t_start):
+    def one_lane(mf, x_start, t_start):
         return plms_denoise(
-            sched, model_fn, x_start, jnp.asarray(ts), t_start, STEPS
+            sched, mf, x_start, jnp.asarray(ts), t_start, STEPS
         )
 
     subset = t_starts[:: max(1, K // SEQ_SUBSET)][:SEQ_SUBSET]
     # compile once on the first lane
     xs = add_noise(sched, x0, noise[0], jnp.asarray(int(subset[0])))
-    one_lane(xs, jnp.asarray(int(subset[0]))).block_until_ready()
+    one_lane(model_fn, xs, jnp.asarray(int(subset[0]))).block_until_ready()
     t0 = time.perf_counter()
     for i, t_start in enumerate(subset):
         xs = add_noise(sched, x0, noise[i], jnp.asarray(int(t_start)))
-        one_lane(xs, jnp.asarray(int(t_start))).block_until_ready()
+        one_lane(model_fn, xs, jnp.asarray(int(t_start))).block_until_ready()
     seq_time_subset = time.perf_counter() - t0
     seq_time_full = seq_time_subset * (K / len(subset))
     seq_recons_per_sec = K * BATCH / seq_time_full

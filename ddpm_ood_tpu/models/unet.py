@@ -143,10 +143,24 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         spatial = x.ndim - 2
-        new_shape = (
-            (x.shape[0],) + tuple(2 * s for s in x.shape[1:-1]) + (x.shape[-1],)
+        # exact 2x nearest upsample as reshape+broadcast (no gather: identical
+        # values to jax.image.resize(method="nearest") at integer scale, but
+        # lowers to pure data movement that TPU compilers handle trivially)
+        shape = x.shape
+        expanded = x.reshape(
+            (shape[0],)
+            + tuple(d for s in shape[1:-1] for d in (s, 1))
+            + (shape[-1],)
         )
-        x = jax.image.resize(x, new_shape, method="nearest")
+        tiled = jnp.broadcast_to(
+            expanded,
+            (shape[0],)
+            + tuple(d for s in shape[1:-1] for d in (s, 2))
+            + (shape[-1],),
+        )
+        x = tiled.reshape(
+            (shape[0],) + tuple(2 * s for s in shape[1:-1]) + (shape[-1],)
+        )
         return nn.Conv(
             self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv"
         )(x)

@@ -147,7 +147,12 @@ class ReconProgram:
     """
 
     sched: NoiseSchedule
-    model_fn: ModelFn  # closed over trained params
+    # model_fn(x, t): pass a `jax.tree_util.Partial` binding the params — it is
+    # threaded through jit as a TRACED pytree argument, so the weights become
+    # program inputs. A plain closure would embed all weights as HLO constants
+    # (observed: a 172M-param UNet's HLO exceeded the remote-compile service's
+    # request-size limit, HTTP 413, besides bloating every compile).
+    model_fn: ModelFn
     num_inference_steps: int = 100
     inference_skip_factor: int = 1
     b_scale: float = 1.0
@@ -188,11 +193,13 @@ class ReconProgram:
         t_starts_j = jnp.asarray(t_starts)
         K = len(t_starts)
 
-        def program(images_original: jnp.ndarray, rng: jax.Array):
-            # images_original: (B, *spatial, C) in [0, 1]
+        def program(model_fn, encode_fn, decode_fn,
+                    images_original: jnp.ndarray, rng: jax.Array):
+            # images_original: (B, *spatial, C) in [0, 1]; model/encode/decode
+            # arrive as Partial pytrees (weights traced, not baked in)
             x = images_original
-            if self.encode_fn is not None:
-                x = self.encode_fn(x)
+            if encode_fn is not None:
+                x = encode_fn(x)
             if self.latent_pad:
                 x = pad_torch_style(x, self.latent_pad)
 
@@ -205,7 +212,7 @@ class ReconProgram:
             sweep = plms_sweep if self.sampler == "plms" else ddim_sweep
             recon = sweep(
                 self.sched,
-                self.model_fn,
+                model_fn,
                 x,
                 noise,
                 ts_desc_j,
@@ -216,8 +223,8 @@ class ReconProgram:
 
             if self.latent_pad:
                 recon = jax.vmap(lambda r: unpad_torch_style(r, self.latent_pad))(recon)
-            if self.decode_fn is not None:
-                recon = jax.vmap(self.decode_fn)(recon)
+            if decode_fn is not None:
+                recon = jax.vmap(decode_fn)(recon)
             recon = jnp.clip(recon / self.b_scale, 0.0, 1.0)
 
             # per-(lane, image) MSE over non-batch dims (reference :188-191)
@@ -260,7 +267,9 @@ class ReconProgram:
             if key not in self._compiled:
                 self._compiled[key] = self._build(ts_desc, t_starts)
             rng, sub = jax.random.split(rng)
-            mse, perc, preview = self._compiled[key](images, sub)
+            mse, perc, preview = self._compiled[key](
+                self.model_fn, self.encode_fn, self.decode_fn, images, sub
+            )
             mses.append(mse)
             percs.append(perc)
             starts.append(t_starts)

@@ -49,18 +49,24 @@ def make_ddpm_state(
 
 @dataclasses.dataclass
 class DDPMTrainStep:
-    """Builds the jitted train/eval steps for a (possibly latent) DDPM."""
+    """Builds the jitted train/eval steps for a (possibly latent) DDPM.
+
+    For the LDM path, pass `encode_fn` as a `jax.tree_util.Partial` binding the
+    frozen VQ-VAE variables — it is threaded through jit as a TRACED argument
+    (a closure would bake the VQ-VAE weights into the HLO as constants, which
+    bloats compiles and can exceed remote-compile request limits).
+    """
 
     sched: NoiseSchedule
     b_scale: float = 1.0
-    encode_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    has_encoder: bool = False  # LDM path: steps take a trailing encode_fn arg
     latent_pad: Optional[Tuple[int, ...]] = None
     external_noise: bool = False  # True: caller supplies noise (simplex path)
 
-    def _prepare(self, images: jnp.ndarray) -> jnp.ndarray:
+    def _prepare(self, images: jnp.ndarray, encode_fn) -> jnp.ndarray:
         x = images
-        if self.encode_fn is not None:
-            x = self.encode_fn(x)
+        if encode_fn is not None:
+            x = encode_fn(x)
         if self.latent_pad:
             x = pad_torch_style(x, self.latent_pad)
         return x
@@ -72,55 +78,68 @@ class DDPMTrainStep:
         pred = state.apply_fn({"params": params}, x_t, t)
         return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
 
+    def _update(self, state, x0, noise, t):
+        loss, grads = jax.value_and_grad(
+            lambda p: self._loss(state, p, x0, noise, t)
+        )(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    def _draw(self, rng, x0):
+        t_key, n_key = jax.random.split(rng)
+        t = jax.random.randint(
+            t_key, (x0.shape[0],), 0, self.sched.num_train_timesteps,
+            dtype=jnp.int32,
+        )
+        noise = jax.random.normal(n_key, x0.shape, dtype=x0.dtype)
+        return t, noise
+
     def make_train_step(self):
-        """internal-noise: step(state, images, rng); external (simplex path, the
-        reference generates noise host-side too, ddpm_trainer.py:93-98):
-        step(state, images, t, noise)."""
+        """internal-noise: step(state, images, rng[, encode_fn]); external
+        (simplex path, the reference generates noise host-side too,
+        ddpm_trainer.py:93-98): step(state, images, t, noise[, encode_fn])."""
         if self.external_noise:
-            def step_ext(state: TrainState, images: jnp.ndarray,
-                         t: jnp.ndarray, noise: jnp.ndarray):
-                x0 = self._prepare(images)
-                loss, grads = jax.value_and_grad(
-                    lambda p: self._loss(state, p, x0, noise, t)
-                )(state.params)
-                state = state.apply_gradients(grads=grads)
-                return state, loss
+            if self.has_encoder:
+                def step(state, images, t, noise, encode_fn):
+                    x0 = self._prepare(images, encode_fn)
+                    return self._update(state, x0, noise, t)
+            else:
+                def step(state, images, t, noise):
+                    x0 = self._prepare(images, None)
+                    return self._update(state, x0, noise, t)
+            return jax.jit(step, donate_argnums=(0,))
 
-            return jax.jit(step_ext, donate_argnums=(0,))
-
-        def step(state: TrainState, images: jnp.ndarray, rng: jax.Array):
-            t_key, n_key = jax.random.split(rng)
-            x0 = self._prepare(images)
-            batch = x0.shape[0]
-            t = jax.random.randint(
-                t_key, (batch,), 0, self.sched.num_train_timesteps, dtype=jnp.int32
-            )
-            noise = jax.random.normal(n_key, x0.shape, dtype=x0.dtype)
-            loss, grads = jax.value_and_grad(
-                lambda p: self._loss(state, p, x0, noise, t)
-            )(state.params)
-            state = state.apply_gradients(grads=grads)
-            return state, loss
-
+        if self.has_encoder:
+            def step(state, images, rng, encode_fn):
+                x0 = self._prepare(images, encode_fn)
+                t, noise = self._draw(rng, x0)
+                return self._update(state, x0, noise, t)
+        else:
+            def step(state, images, rng):
+                x0 = self._prepare(images, None)
+                t, noise = self._draw(rng, x0)
+                return self._update(state, x0, noise, t)
         return jax.jit(step, donate_argnums=(0,))
 
     def make_eval_step(self):
         if self.external_noise:
-            def step_ext(state: TrainState, images: jnp.ndarray,
-                         t: jnp.ndarray, noise: jnp.ndarray):
-                x0 = self._prepare(images)
+            if self.has_encoder:
+                def step(state, images, t, noise, encode_fn):
+                    x0 = self._prepare(images, encode_fn)
+                    return self._loss(state, state.params, x0, noise, t)
+            else:
+                def step(state, images, t, noise):
+                    x0 = self._prepare(images, None)
+                    return self._loss(state, state.params, x0, noise, t)
+            return jax.jit(step)
+
+        if self.has_encoder:
+            def step(state, images, rng, encode_fn):
+                x0 = self._prepare(images, encode_fn)
+                t, noise = self._draw(rng, x0)
                 return self._loss(state, state.params, x0, noise, t)
-
-            return jax.jit(step_ext)
-
-        def step(state: TrainState, images: jnp.ndarray, rng: jax.Array):
-            t_key, n_key = jax.random.split(rng)
-            x0 = self._prepare(images)
-            batch = x0.shape[0]
-            t = jax.random.randint(
-                t_key, (batch,), 0, self.sched.num_train_timesteps, dtype=jnp.int32
-            )
-            noise = jax.random.normal(n_key, x0.shape, dtype=x0.dtype)
-            return self._loss(state, state.params, x0, noise, t)
-
+        else:
+            def step(state, images, rng):
+                x0 = self._prepare(images, None)
+                t, noise = self._draw(rng, x0)
+                return self._loss(state, state.params, x0, noise, t)
         return jax.jit(step)

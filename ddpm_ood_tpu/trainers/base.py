@@ -184,19 +184,32 @@ class BaseTrainer:
         self.quick_test = bool(getattr(args, "quick_test", 0))
 
     # -- stage-2 hooks (pixel-space: identity) ------------------------------------
-    def encode_fn(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.vqvae_vars is None:
-            return x
+    # weights are bound via jax.tree_util.Partial so jitted consumers receive
+    # them as TRACED arguments — closing over them would embed every weight as
+    # an HLO constant (breaks remote compile services on big models and bloats
+    # every program)
+
+    def _apply_encode(self, variables, x: jnp.ndarray) -> jnp.ndarray:
         return self.vqvae_model.apply(
-            self.vqvae_vars, x, method=VQVAE.encode_stage_2_inputs
+            variables, x, method=VQVAE.encode_stage_2_inputs
         )
 
-    def decode_fn(self, z: jnp.ndarray) -> jnp.ndarray:
-        if self.vqvae_vars is None:
-            return z
+    def _apply_decode(self, variables, z: jnp.ndarray) -> jnp.ndarray:
         return self.vqvae_model.apply(
-            self.vqvae_vars, z, method=VQVAE.decode_stage_2_outputs
+            variables, z, method=VQVAE.decode_stage_2_outputs
         )
+
+    @property
+    def encode_fn(self):
+        if self.vqvae_vars is None:
+            return None
+        return jax.tree_util.Partial(self._apply_encode, self.vqvae_vars)
+
+    @property
+    def decode_fn(self):
+        if self.vqvae_vars is None:
+            return None
+        return jax.tree_util.Partial(self._apply_decode, self.vqvae_vars)
 
     def _latent_sample_shape(self):
         """(spatial..., C) of the tensor the UNet consumes, for param init."""
@@ -217,9 +230,14 @@ class BaseTrainer:
             spatial = tuple(s + lo + hi for s, (lo, hi) in zip(spatial, pairs))
         return spatial + (self.ddpm_channels,)
 
-    def model_fn(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        """UNet apply closed over current params (for samplers/sweeps)."""
-        return self.state.apply_fn({"params": self.state.params}, x, t)
+    def _apply_unet(self, params, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        return self.state.apply_fn({"params": params}, x, t)
+
+    @property
+    def model_fn(self):
+        """UNet apply with the CURRENT params bound as a traced Partial arg
+        (for samplers/sweeps)."""
+        return jax.tree_util.Partial(self._apply_unet, self.state.params)
 
     def shard(self, batch: np.ndarray) -> jax.Array:
         return pmesh.shard_batch(self.mesh, batch)

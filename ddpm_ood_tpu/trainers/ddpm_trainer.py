@@ -51,10 +51,11 @@ class DDPMTrainer(BaseTrainer):
             process_index=jax.process_index(),
         )
 
+        self._has_encoder = self.vqvae_vars is not None
         step_builder = DDPMTrainStep(
             sched=self.sched,
             b_scale=self.b_scale,
-            encode_fn=self.encode_fn if self.vqvae_vars is not None else None,
+            has_encoder=self._has_encoder,
             latent_pad=self.latent_pad,
             external_noise=self.simplex_noise,
         )
@@ -124,14 +125,18 @@ class DDPMTrainer(BaseTrainer):
             images = channels_last(batch["image"])
             bsz = images.shape[0]
             device_batch = self.shard(images)
+            extra = (self.encode_fn,) if self._has_encoder else ()
             if self.simplex_noise:
                 t, noise = self._simplex_batch(images)
                 self.state, loss = self._train_step(
-                    self.state, device_batch, self.shard(t), self.shard(noise)
+                    self.state, device_batch, self.shard(t), self.shard(noise),
+                    *extra,
                 )
             else:
                 self.rng, key = jax.random.split(self.rng)
-                self.state, loss = self._train_step(self.state, device_batch, key)
+                self.state, loss = self._train_step(
+                    self.state, device_batch, key, *extra
+                )
             self.global_step += bsz
             epoch_images += bsz
             pending.append((self.global_step, bsz, loss))
@@ -162,14 +167,16 @@ class DDPMTrainer(BaseTrainer):
         for step, batch in enumerate(self.val_loader):
             images = channels_last(batch["image"])
             device_batch = self.shard(images)
+            extra = (self.encode_fn,) if self._has_encoder else ()
             if self.simplex_noise:
                 t, noise = self._simplex_batch(images)
                 loss = self._eval_step(
-                    self.state, device_batch, self.shard(t), self.shard(noise)
+                    self.state, device_batch, self.shard(t), self.shard(noise),
+                    *extra,
                 )
             else:
                 self.rng, key = jax.random.split(self.rng)
-                loss = self._eval_step(self.state, device_batch, key)
+                loss = self._eval_step(self.state, device_batch, key, *extra)
             total += float(loss) * images.shape[0]
             count += images.shape[0]
             last_batch = images
@@ -186,12 +193,19 @@ class DDPMTrainer(BaseTrainer):
         sample_shape = (num,) + tuple(self._latent_sample_shape())
         self.rng, key, nkey = jax.random.split(self.rng, 3)
         noise = jax.random.normal(nkey, sample_shape, dtype=jnp.float32)
-        latents = ddpm_sample(self.sched, self.model_fn, noise, key)
+        # model_fn is a Partial: params ride through jit as traced args
+        sample = jax.jit(
+            lambda mf, n, k: ddpm_sample(self.sched, mf, n, k)
+        )
+        latents = sample(self.model_fn, noise, key)
         if self.do_latent_pad:
             from ..utils.padding import unpad_torch_style
 
             latents = unpad_torch_style(latents, self.latent_pad)
-        samples = np.asarray(self.decode_fn(latents) / self.b_scale)
+        decode = self.decode_fn
+        samples = np.asarray(
+            (decode(latents) if decode is not None else latents) / self.b_scale
+        )
 
         import matplotlib
 

@@ -108,8 +108,8 @@ class Reconstruct(BaseTrainer):
                 b_scale=self.b_scale,
                 sampler=getattr(self.args, "sampler", "plms"),
                 latent_pad=self.latent_pad,
-                encode_fn=self.encode_fn if self.vqvae_vars is not None else None,
-                decode_fn=self.decode_fn if self.vqvae_vars is not None else None,
+                encode_fn=self.encode_fn,  # Partial binding VQ-VAE vars, or None
+                decode_fn=self.decode_fn,
                 perceptual_fn=self._perceptual_fn(),
                 simplex_noise_fn=self._sweep_simplex if self.simplex_noise else None,
             )
