@@ -53,6 +53,10 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--size", type=int, default=16)
     parser.add_argument("--n_train", type=int, default=32)
+    parser.add_argument("--steps", type=int, default=10,
+                        help="num_inference_steps (headline config: 100)")
+    parser.add_argument("--skip", type=int, default=2,
+                        help="inference_skip_factor (headline config: 4)")
     parser.add_argument("--workdir", default=None)
     args = parser.parse_args()
 
@@ -86,8 +90,8 @@ def main() -> None:
     rargs.first_n = None
     rargs.first_n_val = None
     rargs.run_val, rargs.run_in, rargs.run_out = 1, 1, 1
-    rargs.num_inference_steps = 10
-    rargs.inference_skip_factor = 2
+    rargs.num_inference_steps = args.steps
+    rargs.inference_skip_factor = args.skip
     rargs.drop_last = False
     rargs.eval_checkpoint = None
     rargs.sampler = "plms"
