@@ -1,0 +1,93 @@
+"""ReconProgram unit coverage: grouping, samplers, noise paths, previews."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm_ood_tpu.diffusion.schedules import make_schedule
+from ddpm_ood_tpu.recon.sweep import ReconProgram
+
+
+def _model_partial():
+    # cheap linear "UNet": eps_hat = w * x, with w a traced Partial-bound arg
+    def apply(w, x, t):
+        return w * x
+
+    return jax.tree_util.Partial(apply, jnp.float32(0.1))
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+
+
+def test_program_shapes_and_grouping(sched):
+    prog = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=3, num_groups=2,
+    )
+    assert len(prog.t_starts) == 4  # ceil(10/3) of the 11-entry PLMS grid tail
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(3, 8, 8, 1)).astype(np.float32)
+    )
+    t_starts, mse, perc = prog(images, jax.random.PRNGKey(0))
+    assert mse.shape == (4, 3) and perc.shape == (4, 3)
+    assert np.isfinite(np.asarray(mse)).all()
+    np.testing.assert_array_equal(np.sort(t_starts), np.asarray(prog.t_starts))
+    assert prog.last_preview.shape == (3, 8, 8, 1)  # min(8, batch) previews
+    assert np.asarray(perc).max() == 0.0  # no perceptual_fn -> zeros
+
+
+def test_program_ddim_sampler(sched):
+    prog = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=5, num_groups=1, sampler="ddim",
+    )
+    images = jnp.zeros((2, 8, 8, 1))
+    t_starts, mse, _ = prog(images, jax.random.PRNGKey(1))
+    assert mse.shape == (len(t_starts), 2)
+    assert np.isfinite(np.asarray(mse)).all()
+
+
+def test_program_latent_pipeline(sched):
+    """encode/decode Partials + latent pad round-trip inside the program."""
+    def enc(scale, x):
+        return (x * scale)[:, ::2, ::2, :]  # fake 2x encoder
+
+    def dec(scale, z):
+        return jnp.repeat(jnp.repeat(z / scale, 2, axis=1), 2, axis=2)
+
+    prog = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=5, num_groups=1,
+        encode_fn=jax.tree_util.Partial(enc, jnp.float32(2.0)),
+        decode_fn=jax.tree_util.Partial(dec, jnp.float32(2.0)),
+        latent_pad=(1, 1, 1, 1),
+    )
+    images = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(2, 8, 8, 1)).astype(np.float32)
+    )
+    _, mse, _ = prog(images, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(mse)).all()
+
+
+def test_program_simplex_noise_path(sched):
+    from ddpm_ood_tpu.noise.simplex import simplex_noise_device
+
+    def sweep_simplex(rng, shape, t_starts):
+        K = shape[0]
+        keys = jax.random.split(rng, K)
+        return jax.vmap(
+            lambda k, t: simplex_noise_device(
+                k, shape[1:], jnp.full((shape[1],), t, dtype=jnp.int32), octaves=2
+            )
+        )(keys, t_starts)
+
+    prog = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=5, num_groups=1, simplex_noise_fn=sweep_simplex,
+    )
+    images = jnp.zeros((2, 8, 8, 1))
+    _, mse, _ = prog(images, jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(mse)).all()
