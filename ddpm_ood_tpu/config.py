@@ -231,6 +231,11 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         help="Reconstruction sampler (framework extension; the reference is "
         "PLMS-only). DDIM is deterministic and cheaper per step.",
     )
+    parser.add_argument(
+        "--recon_groups", type=int, default=4,
+        help="Lane groups in the batched sweep (framework extension): more "
+        "groups = less masked-lane waste but one compile per group.",
+    )
     args = parser.parse_args(argv)
     if args.eval_checkpoint and not args.ddpm_checkpoint_epoch:
         args.ddpm_checkpoint_epoch = args.eval_checkpoint
@@ -258,5 +263,11 @@ def parse_args_ood_detection(argv=None) -> argparse.Namespace:
         "--t_skip", type=int, default=1,
         help="Only use every n reconstructions (accepted for parity; the reference "
         "also never applies it, ood_detection.py:34,58).",
+    )
+    parser.add_argument(
+        "--plot_target", default="mse",
+        choices=("mse", "perceptual_difference", "mse+perceptual"),
+        help="Z-score target for the AUROC (framework extension; the reference "
+        "hardcodes 'mse', ood_detection.py:73).",
     )
     return parser.parse_args(argv)

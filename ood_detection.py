@@ -16,4 +16,5 @@ if __name__ == "__main__":
             model_name=model,
             max_t=args.max_t,
             min_t=args.min_t,
+            plot_target=args.plot_target,
         )
