@@ -227,8 +227,12 @@ class PerceptualLoss:
 
     dimensions=2: direct LPIPS on (B, H, W, C) channel-last batches -> (B,).
     dimensions=3 (fake 3D): each spatial axis batchified into 2D slices; by default
-    only the LAST view contributes (the reference's loop-overwrite quirk), returning
-    a scalar mean like the reference; `average_views=True` averages all three.
+    only the LAST view contributes (the reference's loop-overwrite quirk);
+    `average_views=True` averages all three. Returns (B,) PER-IMAGE scores —
+    each image's value is the mean over its own slices, exactly the number the
+    reference produces by looping LPIPS over batch items one at a time at
+    scoring time (src/trainers/reconstruct.py:181-187). Callers that want the
+    reference's scalar *training* loss take the batch mean (train/vqvae.py does).
     """
 
     def __init__(
@@ -263,13 +267,15 @@ class PerceptualLoss:
         return self.module.apply(self.params, x, y, normalize=self.lpips_normalize)
 
     def __call__(self, y: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
-        """y, y_pred: (B, *spatial, C) channel-last. 2D -> (B,); 3D -> scalar."""
+        """y, y_pred: (B, *spatial, C) channel-last. Returns (B,) per-image."""
         if self.dimensions == 2:
             return self._lpips2d(y, y_pred)
 
         # 3D fake-3d: channel-last (B, X, Y, Z, C). Views batchify each spatial axis.
         # Reference permutes axis 2/3/4 of NCXYZ; view results overwrite unless
-        # average_views. Slice layout per view: (B*axis, h, w, C).
+        # average_views. Slices stay grouped by item — (B, axis, h, w, C) — so the
+        # per-view score is a per-item mean over that item's own slices, matching
+        # the reference's per-item scoring loop (reconstruct.py:181-187).
         views = []
         b, X, Y, Z, C = y.shape
         specs = [
@@ -278,17 +284,22 @@ class PerceptualLoss:
             ((0, 3, 1, 2, 4), (X, Y)),  # slice along Z
         ]
         for perm, (h, w) in specs:
-            ys = jnp.transpose(y, perm).reshape(-1, h, w, C)
-            ps = jnp.transpose(y_pred, perm).reshape(-1, h, w, C)
+            ys = jnp.transpose(y, perm)  # (B, axis, h, w, C)
+            ps = jnp.transpose(y_pred, perm)
+            n_slices = ys.shape[1]
             if self.keep_ratio < 1.0:
                 # memory/speed compromise like the reference's drop_ratio slice
                 # subsampling (perceptual_loss.py:168-176) — strided (static,
-                # jit-safe) instead of randperm
-                keep = max(1, int(ys.shape[0] * self.keep_ratio))
-                stride = max(1, ys.shape[0] // keep)
-                ys = ys[::stride][:keep]
-                ps = ps[::stride][:keep]
-            views.append(jnp.mean(self._lpips2d(ys, ps)))
+                # jit-safe) instead of randperm, applied per item
+                keep = max(1, int(n_slices * self.keep_ratio))
+                stride = max(1, n_slices // keep)
+                ys = ys[:, ::stride][:, :keep]
+                ps = ps[:, ::stride][:, :keep]
+                n_slices = ys.shape[1]
+            d = self._lpips2d(
+                ys.reshape(-1, h, w, C), ps.reshape(-1, h, w, C)
+            ).reshape(b, n_slices)
+            views.append(jnp.mean(d, axis=1))  # (B,)
         if self.average_views:
-            return jnp.mean(jnp.stack(views))
+            return jnp.mean(jnp.stack(views), axis=0)
         return views[-1]  # reference quirk: only the last view survives

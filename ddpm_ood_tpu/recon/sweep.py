@@ -246,9 +246,15 @@ class ReconProgram:
                     img = pad_to_min_32(img)
                     rec = jax.vmap(pad_to_min_32)(rec)
                 perc = jax.vmap(lambda r: self.perceptual_fn(img, r))(rec)
-                perc = perc.reshape(K, -1)  # (K, B) in 2D; (K, 1) for 3D scalar
-                if perc.shape[1] != mse.shape[1]:
-                    perc = jnp.broadcast_to(perc, mse.shape)
+                # perceptual_fn must return PER-IMAGE (B,) scores in both 2D and
+                # 3D (reference scores LPIPS per item, reconstruct.py:181-187);
+                # a scalar-returning fn would silently destroy the per-image OOD
+                # signal, so reject it loudly.
+                if perc.shape != mse.shape:
+                    raise ValueError(
+                        f"perceptual_fn must return per-image scores {mse.shape[1:]}"
+                        f" per lane; got {perc.shape} vs mse {mse.shape}"
+                    )
             else:
                 perc = jnp.zeros_like(mse)
             # small preview payload: the highest-t_start lane's recon for up to

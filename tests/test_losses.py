@@ -76,5 +76,32 @@ def test_perceptual_fake3d_last_view_quirk_and_fix():
     p = jnp.asarray(rng.uniform(size=(1, 32, 32, 32, 1)).astype(np.float32))
     quirk = PerceptualLoss(dimensions=3, params=params)(y, p)
     fixed = PerceptualLoss(dimensions=3, params=params, average_views=True)(y, p)
-    assert np.ndim(quirk) == 0 and float(quirk) > 0
-    assert np.ndim(fixed) == 0 and float(fixed) > 0
+    assert quirk.shape == (1,) and float(quirk[0]) > 0
+    assert fixed.shape == (1,) and float(fixed[0]) > 0
+
+
+def test_perceptual_fake3d_per_image_matches_item_loop():
+    """3D scores are PER IMAGE: a batch of two different volumes must produce two
+    different values, each equal to scoring that volume alone — the reference's
+    per-item loop semantics at reconstruction time (reconstruct.py:181-187)."""
+    params = init_lpips_params(jax.random.PRNGKey(0), image_hw=32)
+    loss = PerceptualLoss(dimensions=3, params=params)
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.uniform(size=(2, 32, 32, 32, 1)).astype(np.float32))
+    p0 = y.at[0].add(0.3 * jnp.asarray(
+        rng.uniform(size=(32, 32, 32, 1)).astype(np.float32)))
+    p = p0.at[1].add(0.05)  # mild perturbation on item 1, strong on item 0
+    batched = np.asarray(loss(y, p))
+    assert batched.shape == (2,)
+    assert batched[0] != batched[1]
+    per_item = np.asarray(
+        [float(loss(y[i : i + 1], p[i : i + 1])[0]) for i in range(2)]
+    )
+    np.testing.assert_allclose(batched, per_item, rtol=1e-5)
+    # and drop_ratio subsampling keeps the per-item grouping intact
+    loss_drop = PerceptualLoss(dimensions=3, params=params, drop_ratio=0.5)
+    dropped = np.asarray(loss_drop(y, p))
+    per_item_drop = np.asarray(
+        [float(loss_drop(y[i : i + 1], p[i : i + 1])[0]) for i in range(2)]
+    )
+    np.testing.assert_allclose(dropped, per_item_drop, rtol=1e-5)

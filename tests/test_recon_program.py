@@ -72,6 +72,41 @@ def test_program_latent_pipeline(sched):
     assert np.isfinite(np.asarray(mse)).all()
 
 
+def test_program_3d_per_image_perceptual(sched):
+    """Two different volumes in one batch must get DIFFERENT perceptual scores
+    (the reference scores LPIPS per item in 3D, reconstruct.py:181-187; a
+    batch-averaged scalar broadcast over the batch destroys the OOD signal)."""
+    from ddpm_ood_tpu.losses.lpips import PerceptualLoss, init_lpips_params
+
+    perceptual = PerceptualLoss(
+        dimensions=3,
+        params=init_lpips_params(jax.random.PRNGKey(0), image_hw=32),
+    )
+    prog = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=5, num_groups=1, perceptual_fn=perceptual,
+    )
+    rng = np.random.default_rng(7)
+    smooth = np.full((8, 8, 8, 1), 0.5, dtype=np.float32)
+    noisy = rng.uniform(size=(8, 8, 8, 1)).astype(np.float32)
+    images = jnp.asarray(np.stack([smooth, noisy]))
+    _, mse, perc = prog(images, jax.random.PRNGKey(4))
+    perc = np.asarray(perc)
+    assert perc.shape == mse.shape and np.isfinite(perc).all()
+    assert (perc[:, 0] != perc[:, 1]).all()
+
+
+def test_program_rejects_scalar_perceptual(sched):
+    """A perceptual_fn that collapses the batch must be rejected, not broadcast."""
+    prog = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=5, num_groups=1,
+        perceptual_fn=lambda y, yp: jnp.mean(jnp.square(y - yp)),
+    )
+    with pytest.raises(ValueError, match="per-image"):
+        prog(jnp.zeros((2, 8, 8, 1)), jax.random.PRNGKey(0))
+
+
 def test_program_simplex_noise_path(sched):
     from ddpm_ood_tpu.noise.simplex import simplex_noise_device
 
