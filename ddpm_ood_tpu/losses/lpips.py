@@ -115,11 +115,13 @@ class LPIPS(nn.Module):
 
         total = jnp.zeros((x.shape[0],), dtype=jnp.float32)
         for i, (ax, ay) in enumerate(zip(fx, fy)):
-            ax = ax * jax.lax.rsqrt(
-                jnp.sum(jnp.square(ax), axis=-1, keepdims=True) + 1e-10
+            # published lpips v0.1 normalize_tensor: x / (||x||_2 + 1e-10) with
+            # the epsilon OUTSIDE the sqrt (parity matters for golden tests)
+            ax = ax / (
+                jnp.sqrt(jnp.sum(jnp.square(ax), axis=-1, keepdims=True)) + 1e-10
             )
-            ay = ay * jax.lax.rsqrt(
-                jnp.sum(jnp.square(ay), axis=-1, keepdims=True) + 1e-10
+            ay = ay / (
+                jnp.sqrt(jnp.sum(jnp.square(ay), axis=-1, keepdims=True)) + 1e-10
             )
             diff = jnp.square(ax - ay)
             w = self.param(
