@@ -227,9 +227,12 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         help="Only reconstruct from every n-th start timestep.",
     )
     parser.add_argument(
-        "--sampler", default="plms", choices=("plms", "ddim"),
+        "--sampler", default="plms", choices=("plms", "plms_ref", "ddim"),
         help="Reconstruction sampler (framework extension; the reference is "
-        "PLMS-only). DDIM is deterministic and cheaper per step.",
+        "PLMS-only). 'plms' = batched sweep with a fresh epsilon history per "
+        "start point; 'plms_ref' = the reference's exact carried-history "
+        "semantics (sequential, for parity quantification); 'ddim' is "
+        "deterministic and cheaper per step.",
     )
     parser.add_argument(
         "--recon_groups", type=int, default=4,

@@ -107,7 +107,7 @@ def prep_cifar10(data_root: Path) -> None:
     extracted = raw / "cifar-10-batches-py"
     if archive.exists() and not extracted.exists():
         with tarfile.open(archive) as tf:
-            tf.extractall(raw)
+            tf.extractall(raw, filter="data")
     if not extracted.exists():
         print("CIFAR10: raw batches missing, skipping")
         return

@@ -64,7 +64,7 @@ def download_data(data_root: str, tasks=None) -> None:
                           f"extracted folder under {root}. Skipping.")
                     continue
             with tarfile.open(archive) as tf:
-                tf.extractall(root)
+                tf.extractall(root, filter="data")
         images = sorted(
             str(p) for p in (task_dir / "imagesTr").glob("*.nii.gz")
             if not p.name.startswith("._")

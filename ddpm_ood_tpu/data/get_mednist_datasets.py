@@ -52,7 +52,7 @@ def download_data(data_root: str) -> None:
                       f"extracted MedNIST/ under {root}.")
                 return
         with tarfile.open(archive) as tf:
-            tf.extractall(root)
+            tf.extractall(root, filter="data")
 
     splits_dir = root / "data_splits"
     splits_dir.mkdir(exist_ok=True, parents=True)

@@ -173,6 +173,89 @@ def plms_step(
     )
 
 
+def plms_reference_exact_sweep(
+    sched: NoiseSchedule,
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    noise: jnp.ndarray,
+    timesteps_desc: np.ndarray,
+    t_starts: np.ndarray,
+    num_inference_steps: int,
+    b_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Multi-t_start sweep with the REFERENCE'S carried-history semantics.
+
+    The reference constructs one PNDMScheduler per data batch and loops t_starts
+    ascending, so the `ets` epsilon history and step counter LEAK across
+    consecutive trajectories (src/trainers/reconstruct.py:98,128-157): every
+    trajectory after the first starts at the Adams-Bashforth order the previous
+    one ended at, fed by stale epsilons from a different trajectory. This
+    function reproduces that exactly — order selection follows the published
+    PNDM `step_plms` (len(ets)-based, with the counter==1 Heun re-do) and the
+    history/counter persist across lanes.
+
+    The chained state makes this inherently sequential, so it is the
+    parity/quantification path (scripts/quality_check.py --sampler plms_ref),
+    not the performance path; the history evolution is static at trace time, so
+    only the UNet call and the eq.-11 transfer are device programs.
+
+    x0: (B, *spatial, C); noise: (K, B, *spatial, C); t_starts ascending.
+    Returns (K, B, *spatial, C) reconstructions (latent-space, still b_scaled).
+    """
+    from .schedules import add_noise as _add_noise
+
+    step_ratio = sched.num_train_timesteps // num_inference_steps
+    ts_desc = np.asarray(timesteps_desc)
+    if isinstance(model_fn, jax.tree_util.Partial):
+        # weights ride along as traced args (not HLO constants — see
+        # recon/sweep.py on the 413 closure-constant failure mode)
+        _call = jax.jit(lambda mf, x, t: mf(x, t))
+        model_call = lambda x, t: _call(model_fn, x, t)  # noqa: E731
+    else:
+        model_call = jax.jit(model_fn)
+    transfer = jax.jit(_transfer)  # NoiseSchedule is a pytree -> traced arg
+
+    ets: list = []
+    counter = 0
+    cur_sample = None
+    recons = []
+    for k, t_start in enumerate(np.asarray(t_starts)):
+        x = _add_noise(sched, x0 * b_scale, noise[k], jnp.asarray(int(t_start)))
+        for t in (int(t) for t in ts_desc[ts_desc <= t_start]):
+            t_batch = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+            eps = epsilon_from_model_output(sched, model_call(x, t_batch), x, t)
+            if counter != 1:
+                ets = (ets + [eps])[-4:]
+                t_used, t_prev = t, t - step_ratio
+            else:
+                t_used, t_prev = t + step_ratio, t
+            sample = x
+            if len(ets) == 1 and counter == 0:
+                out = eps
+                cur_sample = x
+            elif len(ets) == 1 and counter == 1:
+                out = (eps + ets[-1]) / 2.0
+                sample = cur_sample
+                cur_sample = None
+            elif len(ets) == 2:
+                out = (3.0 * ets[-1] - ets[-2]) / 2.0
+            elif len(ets) == 3:
+                out = (23.0 * ets[-1] - 16.0 * ets[-2] + 5.0 * ets[-3]) / 12.0
+            else:
+                out = (
+                    55.0 * ets[-1]
+                    - 59.0 * ets[-2]
+                    + 37.0 * ets[-3]
+                    - 9.0 * ets[-4]
+                ) / 24.0
+            x = transfer(
+                sched, sample, jnp.asarray(t_used), jnp.asarray(t_prev), out
+            )
+            counter += 1
+        recons.append(x)
+    return jnp.stack(recons)
+
+
 def plms_denoise(
     sched: NoiseSchedule,
     model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],

@@ -157,7 +157,11 @@ class ReconProgram:
     inference_skip_factor: int = 1
     b_scale: float = 1.0
     num_groups: int = 4
-    sampler: str = "plms"  # "plms" (reference parity) | "ddim" (extension)
+    # "plms": batched sweep, fresh history per t_start (the performance path);
+    # "plms_ref": the reference's exact carried-history semantics, sequential
+    #             (quantification/parity path — see diffusion/plms.py);
+    # "ddim": extension.
+    sampler: str = "plms"
     latent_pad: Optional[Tuple[int, ...]] = None
     # stage-2 hooks; identity for pixel-space models (PassthroughVQVAE parity)
     encode_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
@@ -173,7 +177,7 @@ class ReconProgram:
             self.timesteps_desc = ddim_timesteps(
                 self.sched.num_train_timesteps, self.num_inference_steps
             )
-        elif self.sampler == "plms":
+        elif self.sampler in ("plms", "plms_ref"):
             self.timesteps_desc = pndm_timesteps(
                 self.sched.num_train_timesteps, self.num_inference_steps
             )
@@ -221,52 +225,94 @@ class ReconProgram:
                 self.b_scale,
             )  # (K, B, *latent, C)
 
-            if self.latent_pad:
-                recon = jax.vmap(lambda r: unpad_torch_style(r, self.latent_pad))(recon)
-            if decode_fn is not None:
-                recon = jax.vmap(decode_fn)(recon)
-            recon = jnp.clip(recon / self.b_scale, 0.0, 1.0)
-
-            # per-(lane, image) MSE over non-batch dims (reference :188-191)
-            diff = jnp.square(images_original[None] - recon)
-            mse = jnp.mean(diff, axis=tuple(range(2, diff.ndim)))  # (K, B)
-
-            if self.perceptual_fn is not None:
-                img = images_original
-                rec = recon
-                if (
-                    self.pad_images_for_lpips
-                    and img.ndim == 4
-                    and (img.shape[1] < 32 or img.shape[2] < 32)
-                ):
-                    # 28->32 reference rule (reconstruct.py:170-178), generalized
-                    # to any sub-32 input (AlexNet collapses below 32)
-                    from ..losses.lpips import pad_to_min_32
-
-                    img = pad_to_min_32(img)
-                    rec = jax.vmap(pad_to_min_32)(rec)
-                perc = jax.vmap(lambda r: self.perceptual_fn(img, r))(rec)
-                # perceptual_fn must return PER-IMAGE (B,) scores in both 2D and
-                # 3D (reference scores LPIPS per item, reconstruct.py:181-187);
-                # a scalar-returning fn would silently destroy the per-image OOD
-                # signal, so reject it loudly.
-                if perc.shape != mse.shape:
-                    raise ValueError(
-                        f"perceptual_fn must return per-image scores {mse.shape[1:]}"
-                        f" per lane; got {perc.shape} vs mse {mse.shape}"
-                    )
-            else:
-                perc = jnp.zeros_like(mse)
-            # small preview payload: the highest-t_start lane's recon for up to
-            # 8 images (reference renders per-batch previews, reconstruct.py:206-231)
-            preview = recon[-1, : min(8, recon.shape[1])]
-            return mse, perc, preview
+            return self._score_body(decode_fn, images_original, recon)
 
         return jax.jit(program)
+
+    def _score_body(self, decode_fn, images_original, recon):
+        """Shared decode + metrics tail (un-pad, VQ-VAE decode, /b_scale, clamp,
+        per-(lane,image) MSE and LPIPS — reference reconstruct.py:159-191).
+        Traced inside the group programs and the plms_ref metrics program."""
+        if self.latent_pad:
+            recon = jax.vmap(lambda r: unpad_torch_style(r, self.latent_pad))(recon)
+        if decode_fn is not None:
+            recon = jax.vmap(decode_fn)(recon)
+        recon = jnp.clip(recon / self.b_scale, 0.0, 1.0)
+
+        # per-(lane, image) MSE over non-batch dims (reference :188-191)
+        diff = jnp.square(images_original[None] - recon)
+        mse = jnp.mean(diff, axis=tuple(range(2, diff.ndim)))  # (K, B)
+
+        if self.perceptual_fn is not None:
+            img = images_original
+            rec = recon
+            if (
+                self.pad_images_for_lpips
+                and img.ndim == 4
+                and (img.shape[1] < 32 or img.shape[2] < 32)
+            ):
+                # 28->32 reference rule (reconstruct.py:170-178), generalized
+                # to any sub-32 input (AlexNet collapses below 32)
+                from ..losses.lpips import pad_to_min_32
+
+                img = pad_to_min_32(img)
+                rec = jax.vmap(pad_to_min_32)(rec)
+            perc = jax.vmap(lambda r: self.perceptual_fn(img, r))(rec)
+            # perceptual_fn must return PER-IMAGE (B,) scores in both 2D and
+            # 3D (reference scores LPIPS per item, reconstruct.py:181-187);
+            # a scalar-returning fn would silently destroy the per-image OOD
+            # signal, so reject it loudly.
+            if perc.shape != mse.shape:
+                raise ValueError(
+                    f"perceptual_fn must return per-image scores {mse.shape[1:]}"
+                    f" per lane; got {perc.shape} vs mse {mse.shape}"
+                )
+        else:
+            perc = jnp.zeros_like(mse)
+        # small preview payload: the highest-t_start lane's recon for up to
+        # 8 images (reference renders per-batch previews, reconstruct.py:206-231)
+        preview = recon[-1, : min(8, recon.shape[1])]
+        return mse, perc, preview
+
+    def _call_reference_exact(self, images: jnp.ndarray, rng: jax.Array):
+        """Sequential carried-history sweep (sampler='plms_ref'): the reference's
+        per-batch-scheduler semantics, then the same jitted metrics tail."""
+        from ..diffusion.plms import plms_reference_exact_sweep
+
+        x = images
+        if self.encode_fn is not None:
+            x = jax.jit(lambda ef, a: ef(a))(self.encode_fn, images)
+        if self.latent_pad:
+            x = pad_torch_style(x, self.latent_pad)
+        K = len(self.t_starts)
+        noise_shape = (K,) + x.shape
+        if self.simplex_noise_fn is not None:
+            noise = self.simplex_noise_fn(rng, noise_shape, jnp.asarray(self.t_starts))
+        else:
+            noise = jax.random.normal(rng, noise_shape, dtype=x.dtype)
+        recon = plms_reference_exact_sweep(
+            self.sched,
+            self.model_fn,
+            x,
+            noise,
+            self.timesteps_desc,
+            self.t_starts,
+            self.num_inference_steps,
+            self.b_scale,
+        )
+        if not hasattr(self, "_metrics_jit"):
+            self._metrics_jit = jax.jit(
+                lambda decode_fn, img, rec: self._score_body(decode_fn, img, rec)
+            )
+        mse, perc, preview = self._metrics_jit(self.decode_fn, images, recon)
+        self.last_preview = preview
+        return np.asarray(self.t_starts), mse, perc
 
     def __call__(self, images: jnp.ndarray, rng: jax.Array):
         """Score one batch. Returns (t_starts (K,), mse (K,B), perceptual (K,B));
         the last group's preview recon is stashed on `self.last_preview`."""
+        if self.sampler == "plms_ref":
+            return self._call_reference_exact(images, rng)
         mses, percs, starts = [], [], []
         for gi, (ts_desc, t_starts) in enumerate(self._groups):
             key = (ts_desc.shape[0], t_starts.shape[0], images.shape)

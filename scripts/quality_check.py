@@ -4,12 +4,26 @@ synthetic data, printed as one JSON line.
 
 Real-dataset AUROC parity (FashionMNIST vs MNIST/SVHN/CIFAR10, BASELINE.md)
 needs the datasets, which require network egress to download; this harness is
-the hermetic stand-in: in-distribution smooth sinusoid textures vs OOD
-checkerboards, scored through the full four-stage pipeline (the same code path
-real datasets take). A healthy build separates them with AUROC ~1.0 after a
-couple hundred steps.
+the hermetic stand-in, scored through the full four-stage pipeline (the same
+code path real datasets take). Two OOD sets:
 
-Usage: python scripts/quality_check.py [--epochs 40] [--size 16] [--workdir DIR]
+  - easy: checkerboards — structurally far; a healthy build scores ~1.0
+    (pass/fail smoke signal).
+  - hard: sinusoids at DOUBLE the highest training frequency — same texture
+    family, out-of-training spectrum, deliberately near the in-distribution
+    manifold so the AUROC lands mid-range (~0.85-0.95 on a healthy build) and
+    capability REGRESSIONS move the number (a saturated 1.0 task cannot catch
+    a 0.97 -> 0.90 capability drop). Calibrated on chip: checkerboard
+    mixtures/additive noise score BELOW chance (min-max rescaling compresses
+    contrast and flips the MSE signal), 6-8px checkerboard patches ~0.7,
+    freq-4 sinusoids ~0.9 — the latter is the chosen task.
+
+`--samplers plms,plms_ref,ddim` reconstructs the same checkpoint with each
+sampler and reports per-sampler AUROCs + mean in/out Z-scores, which is how the
+fresh-history-vs-carried-history PLMS deviation is quantified (docs/DESIGN.md).
+
+Usage: python scripts/quality_check.py [--epochs 40] [--size 16]
+       [--samplers plms,plms_ref] [--simplex] [--workdir DIR]
 """
 
 from __future__ import annotations
@@ -25,7 +39,9 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def make_dataset(root: Path, name: str, n: int, size: int, rng, ood: bool = False):
+def make_dataset(root: Path, name: str, n: int, size: int, rng, kind: str = "in"):
+    """kind: 'in' smooth sinusoids | 'ood' checkerboards | 'near' perturbed
+    sinusoids (the de-saturated target)."""
     from ddpm_ood_tpu.data.csv_splits import write_split_csv
 
     d = root / name
@@ -33,19 +49,42 @@ def make_dataset(root: Path, name: str, n: int, size: int, rng, ood: bool = Fals
     yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
     paths = []
     for i in range(n):
-        if ood:
+        if kind == "ood":
             img = ((xx + yy + i) % 2).astype(np.float32)[None]
         else:
             phase = rng.uniform(0, 2 * np.pi)
-            freq = rng.choice([1.0, 2.0])
-            img = (0.5 + 0.5 * np.sin(2 * np.pi * freq * (xx + yy) / size + phase)
-                   ).astype(np.float32)[None]
+            # training spectrum is freq {1, 2}; 'near' sits just outside it
+            freq = 4.0 if kind == "near" else rng.choice([1.0, 2.0])
+            img = (
+                0.5 + 0.5 * np.sin(2 * np.pi * freq * (xx + yy) / size + phase)
+            ).astype(np.float32)[None]
         p = d / f"{name}_{i}.npy"
         np.save(p, img)
         paths.append(str(p))
     csv = root / f"{name}.csv"
     write_split_csv(paths, str(csv))
     return str(csv)
+
+
+def score_run(out_dir: Path, out_name: str, target: str = "mse"):
+    import pandas as pd
+
+    from ddpm_ood_tpu.ood import compute_ood_scores
+
+    scored = compute_ood_scores(
+        pd.read_csv(out_dir / "results_val.csv"),
+        pd.read_csv(out_dir / "results_in.csv"),
+        pd.read_csv(out_dir / f"results_{out_name}.csv"),
+        plot_target=target,
+    )
+    per_image = scored["per_image"]
+    z = f"Z_score_{target}" if f"Z_score_{target}" in per_image else f"z_score_{target}"
+    mean_z = per_image.groupby("type")[z].mean().to_dict()
+    return {
+        "auroc": round(scored["auroc"], 4),
+        "mean_z_in": round(float(mean_z.get("in", float("nan"))), 4),
+        "mean_z_out": round(float(mean_z.get("out", float("nan"))), 4),
+    }
 
 
 def main() -> None:
@@ -57,18 +96,22 @@ def main() -> None:
                         help="num_inference_steps (headline config: 100)")
     parser.add_argument("--skip", type=int, default=2,
                         help="inference_skip_factor (headline config: 4)")
+    parser.add_argument("--samplers", default="plms",
+                        help="comma list of plms|plms_ref|ddim to compare")
+    parser.add_argument("--simplex", action="store_true",
+                        help="train + reconstruct with simplex noise")
     parser.add_argument("--workdir", default=None)
     args = parser.parse_args()
 
-    from ddpm_ood_tpu.ood import compute_ood_scores
     from ddpm_ood_tpu.trainers import DDPMTrainer, Reconstruct
 
     root = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp())
     rng = np.random.default_rng(0)
     train_csv = make_dataset(root, "train", args.n_train, args.size, rng)
-    val_csv = make_dataset(root, "val", 8, args.size, rng)
-    in_csv = make_dataset(root, "inset", 8, args.size, rng)
-    out_csv = make_dataset(root, "outset", 8, args.size, rng, ood=True)
+    val_csv = make_dataset(root, "val", 16, args.size, rng)
+    in_csv = make_dataset(root, "inset", 16, args.size, rng)
+    out_csv = make_dataset(root, "outset", 16, args.size, rng, kind="ood")
+    near_csv = make_dataset(root, "nearset", 16, args.size, rng, kind="near")
 
     ns = argparse.Namespace(
         seed=2, output_dir=str(root / "output"), model_name="quality_fashionmnist",
@@ -76,7 +119,7 @@ def main() -> None:
         image_size=args.size, image_roi=None, latent_pad=None, vqvae_checkpoint=None,
         prediction_type="epsilon", model_type="tiny",
         beta_schedule="scaled_linear_beta", beta_start=0.0015, beta_end=0.0195,
-        b_scale=1.0, snr_shift=1, simplex_noise=0, batch_size=8,
+        b_scale=1.0, snr_shift=1, simplex_noise=int(args.simplex), batch_size=8,
         n_epochs=args.epochs, eval_freq=10**9, augmentation=0, num_workers=2,
         cache_data=1, checkpoint_every=10**9, ddpm_checkpoint_epoch=None,
         is_grayscale=1, quick_test=0, profile_dir=None,
@@ -84,33 +127,36 @@ def main() -> None:
     trainer = DDPMTrainer(ns)
     trainer.train(ns)
 
-    rargs = argparse.Namespace(**vars(ns))
-    rargs.in_ids = in_csv
-    rargs.out_ids = out_csv
-    rargs.first_n = None
-    rargs.first_n_val = None
-    rargs.run_val, rargs.run_in, rargs.run_out = 1, 1, 1
-    rargs.num_inference_steps = args.steps
-    rargs.inference_skip_factor = args.skip
-    rargs.drop_last = False
-    rargs.eval_checkpoint = None
-    rargs.sampler = "plms"
-    recon = Reconstruct(rargs)
-    recon.reconstruct(rargs)
-
-    import pandas as pd
-
     out_dir = Path(ns.output_dir) / ns.model_name / "ood"
-    scored = compute_ood_scores(
-        pd.read_csv(out_dir / "results_val.csv"),
-        pd.read_csv(out_dir / "results_in.csv"),
-        pd.read_csv(out_dir / "results_outset.csv"),
-    )
+    per_sampler = {}
+    for sampler in args.samplers.split(","):
+        rargs = argparse.Namespace(**vars(ns))
+        rargs.in_ids = in_csv
+        rargs.out_ids = f"{out_csv},{near_csv}"
+        rargs.first_n = None
+        rargs.first_n_val = None
+        rargs.run_val, rargs.run_in, rargs.run_out = 1, 1, 1
+        rargs.num_inference_steps = args.steps
+        rargs.inference_skip_factor = args.skip
+        rargs.drop_last = False
+        rargs.eval_checkpoint = None
+        rargs.sampler = sampler
+        recon = Reconstruct(rargs)
+        recon.reconstruct(rargs)
+        per_sampler[sampler] = {
+            "easy": score_run(out_dir, "outset"),
+            "hard": score_run(out_dir, "nearset"),
+        }
+
+    first = args.samplers.split(",")[0]
     print(json.dumps({
-        "metric": "synthetic_ood_auroc",
-        "value": round(scored["auroc"], 4),
-        "unit": "AUROC (sinusoids vs checkerboards, tiny 2D DDPM)",
-        "vs_baseline": round(scored["auroc"] / 1.0, 4),
+        "metric": "synthetic_ood_auroc_hard",
+        "value": per_sampler[first]["hard"]["auroc"],
+        "unit": "AUROC (freq-1/2 sinusoids vs freq-4 sinusoids, tiny 2D DDPM)",
+        "vs_baseline": per_sampler[first]["hard"]["auroc"],
+        "easy_auroc": per_sampler[first]["easy"]["auroc"],
+        "simplex": bool(args.simplex),
+        "per_sampler": per_sampler,
     }))
 
 

@@ -156,6 +156,68 @@ def test_plms_duplicate_980_start_point():
     np.testing.assert_allclose(np.asarray(out), npx, rtol=2e-4, atol=2e-5)
 
 
+def test_reference_exact_sweep_matches_persistent_numpy_golden():
+    """plms_ref carries ets/counter across t_starts exactly like ONE stateful
+    scheduler driven over the reference's loops (reconstruct.py:98,128-157)."""
+    from ddpm_ood_tpu.diffusion.plms import plms_reference_exact_sweep
+
+    sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+    timesteps = pndm_timesteps(1000, 10)
+    t_starts = pndm_start_points(timesteps, 2)
+    assert len(t_starts) >= 3  # several chained trajectories
+    rng = np.random.default_rng(9)
+    x0 = rng.normal(size=(2, 4, 4, 1)).astype(np.float32)
+    noise = rng.normal(size=(len(t_starts),) + x0.shape).astype(np.float32)
+
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    golden = NumpyPLMS(np.asarray(sched.betas), 1000, 10)
+    expected = []
+    for k, t_start in enumerate(t_starts):
+        npx = acp[t_start] ** 0.5 * x0 + (1 - acp[t_start]) ** 0.5 * noise[k]
+        for t in timesteps[timesteps <= t_start]:
+            e = np.asarray(
+                _fake_model(jnp.asarray(npx, jnp.float32), jnp.asarray([t, t]))
+            )
+            npx = golden.step(e, int(t), npx)
+        expected.append(npx)
+
+    out = plms_reference_exact_sweep(
+        sched, _fake_model, jnp.asarray(x0), jnp.asarray(noise),
+        timesteps, t_starts, num_inference_steps=10,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.stack(expected), rtol=2e-4, atol=2e-5)
+
+
+def test_reference_exact_first_lane_matches_fresh_history_sweep():
+    """The first trajectory has no inherited history, so plms_ref and the
+    batched fresh-history sweep agree there; later lanes diverge (that IS the
+    carried-history deviation being quantified)."""
+    from ddpm_ood_tpu.recon.sweep import plms_sweep
+    from ddpm_ood_tpu.diffusion.plms import plms_reference_exact_sweep
+
+    sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+    timesteps = pndm_timesteps(1000, 10)
+    t_starts = pndm_start_points(timesteps, 2)
+    rng = np.random.default_rng(10)
+    x0 = jnp.asarray(rng.normal(size=(1, 4, 4, 1)).astype(np.float32))
+    noise = jnp.asarray(
+        rng.normal(size=(len(t_starts),) + x0.shape).astype(np.float32)
+    )
+
+    ref = plms_reference_exact_sweep(
+        sched, _fake_model, x0, noise, timesteps, t_starts, 10
+    )
+    fresh = plms_sweep(
+        sched, _fake_model, x0, noise, jnp.asarray(timesteps),
+        jnp.asarray(t_starts), 10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref[0]), np.asarray(fresh[0]), rtol=1e-5, atol=1e-6
+    )
+    later = np.abs(np.asarray(ref[2:]) - np.asarray(fresh[2:]))
+    assert later.max() > 1e-6  # histories genuinely differ downstream
+
+
 def test_plms_denoises_toward_x0():
     """With a perfect-epsilon oracle the sampler recovers x0 from moderate noise."""
     sched = make_schedule("linear_beta", 1000, 1e-4, 2e-2)
