@@ -66,15 +66,25 @@ def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
     contributes its local shard (the loader already partitioned the dataset).
     """
     data_size = mesh.shape[DATA_AXIS]
+    procs = jax.process_count()
+    # each process holds data_size/procs of the data-axis devices; its local
+    # batch must tile them evenly (the loader partitions evenly already, this
+    # wrap-pad covers ragged last batches)
+    local_multiple = max(1, data_size // procs)
     batch = np.asarray(batch)
-    if batch.shape[0] % data_size != 0:
-        target = ((batch.shape[0] + data_size - 1) // data_size) * data_size
+    if batch.shape[0] % local_multiple != 0:
+        target = (
+            (batch.shape[0] + local_multiple - 1) // local_multiple
+        ) * local_multiple
         idx = np.arange(target) % batch.shape[0]  # wrap
         batch = batch[idx]
     sharding = batch_sharding(mesh)
-    if jax.process_count() == 1:
+    if procs == 1:
         return jax.device_put(batch, sharding)
-    return jax.make_array_from_process_local_data(sharding, batch)
+    # explicit global shape: every process contributes an equal local shard
+    # (inference of the global shape from local data is ambiguous and wrong here)
+    global_shape = (batch.shape[0] * procs,) + batch.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, batch, global_shape)
 
 
 def initialize_multihost(
