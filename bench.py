@@ -82,7 +82,10 @@ def main() -> None:
     noise = jax.random.normal(jax.random.PRNGKey(2), (K,) + x0.shape)
 
     # ---- batched sweep (this framework; grouped like the production path) --------
-    groups = group_t_starts(ts, t_starts, int(os.environ.get("BENCH_GROUPS", "3")))
+    # 16 lane groups: autotuned on chip (scripts/autotune_sweep.py) — masked-eval
+    # overhead falls from 1.29x (3 groups) to 1.05x of ideal; measured on v5e:
+    # G=3 256, G=8 351, G=12 371, G=16 375, G=25 377 recons/s (DESIGN.md)
+    groups = group_t_starts(ts, t_starts, int(os.environ.get("BENCH_GROUPS", "16")))
     compiled = []
     offset = 0
     for g_ts, g_starts in groups:

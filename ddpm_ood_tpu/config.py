@@ -235,9 +235,10 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "deterministic and cheaper per step.",
     )
     parser.add_argument(
-        "--recon_groups", type=int, default=4,
+        "--recon_groups", type=int, default=8,
         help="Lane groups in the batched sweep (framework extension): more "
-        "groups = less masked-lane waste but one compile per group.",
+        "groups = less masked-lane waste but one compile per group. Default "
+        "autotuned on TPU v5e (scripts/autotune_sweep.py).",
     )
     args = parser.parse_args(argv)
     if args.eval_checkpoint and not args.ddpm_checkpoint_epoch:

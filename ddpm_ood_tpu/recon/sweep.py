@@ -156,7 +156,10 @@ class ReconProgram:
     num_inference_steps: int = 100
     inference_skip_factor: int = 1
     b_scale: float = 1.0
-    num_groups: int = 4
+    # autotuned on v5e (scripts/autotune_sweep.py): 8 groups cuts the masked-eval
+    # overhead to ~1.09x ideal and measured 351 vs 256 recons/s against 3 groups
+    # at the headline config; clamped to K for small sweeps
+    num_groups: int = 8
     # "plms": batched sweep, fresh history per t_start (the performance path);
     # "plms_ref": the reference's exact carried-history semantics, sequential
     #             (quantification/parity path — see diffusion/plms.py);

@@ -107,7 +107,7 @@ class Reconstruct(BaseTrainer):
                 inference_skip_factor=int(skip_factor),
                 b_scale=self.b_scale,
                 sampler=getattr(self.args, "sampler", "plms"),
-                num_groups=int(getattr(self.args, "recon_groups", 4)),
+                num_groups=int(getattr(self.args, "recon_groups", 8)),
                 latent_pad=self.latent_pad,
                 encode_fn=self.encode_fn,  # Partial binding VQ-VAE vars, or None
                 decode_fn=self.decode_fn,
