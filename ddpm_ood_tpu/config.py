@@ -238,7 +238,8 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "--recon_groups", type=int, default=8,
         help="Lane groups in the batched sweep (framework extension): more "
         "groups = less masked-lane waste but one compile per group. Default "
-        "autotuned on TPU v5e (scripts/autotune_sweep.py).",
+        "autotuned on TPU v5e for 2D (scripts/autotune_sweep.py); for 3D LDM "
+        "latents 3-4 measured faster (mega-batch utilization dominates).",
     )
     args = parser.parse_args(argv)
     if args.eval_checkpoint and not args.ddpm_checkpoint_epoch:

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Autotune the grouped reconstruction sweep on the attached chip.
 
-Sweeps (num_groups, batch) for the headline workload (small UNet, 32x32x1,
-100-step PLMS, skip 4) and reports recons/s plus sweep-level MFU for each
-config. Rationale: lane grouping trims each group's scan to the timestep
+Sweeps (num_groups, batch) for a reconstruction workload — default the headline
+config (small UNet, 32x32x1, 100-step PLMS, skip 4); `--model big --shape 32 32 3
+--skip 8` and `--model small --shape 20 20 16 128 --skip 16` cover the big-model
+and 3D-LDM-latent measured baselines — and reports recons/s plus sweep-level MFU
+for each config. Rationale: lane grouping trims each group's scan to the timestep
 suffix its lanes need; the masked-eval overhead falls from 1.96x (one group)
 to 1.09x (8 groups) of the ideal eval count (see docs/DESIGN.md), but smaller
 groups shrink the per-step megabatch (K_g * B), so the best point is a
@@ -60,6 +62,14 @@ def main() -> None:
     p.add_argument("--batches", type=int, nargs="*", default=None)
     p.add_argument("--skip", type=int, default=4)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--model", default=None, help="tiny/small/big (default small)")
+    p.add_argument(
+        "--shape", type=int, nargs="+", default=None,
+        help="sample shape *spatial C, e.g. '32 32 3' (2D rgb) or "
+        "'20 20 16 128' (3D LDM latent); default 32 32 1",
+    )
+    p.add_argument("--no-mfu", action="store_true",
+                   help="skip the CPU FLOP lowering (slow for big/3D models)")
     args = p.parse_args()
 
     cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
@@ -70,35 +80,39 @@ def main() -> None:
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     steps = 10 if args.quick else 100
-    model = "tiny" if args.quick else "small"
+    model = args.model or ("tiny" if args.quick else "small")
     group_list = args.groups or ([2, 3] if args.quick else [3, 4, 6, 8])
     batch_list = args.batches or ([4] if args.quick else [32, 64])
+    shape = tuple(args.shape or (32, 32, 1))  # (*spatial, C)
+    spatial_dims, channels = len(shape) - 1, shape[-1]
 
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    unet = make_unet(model, 2, 1, 1, dtype=dtype)
+    unet = make_unet(model, spatial_dims, channels, channels, dtype=dtype)
     sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
     ts = pndm_timesteps(1000, steps)
     t_starts = pndm_start_points(ts, args.skip)
     K = len(t_starts)
 
     # per-eval FLOPs measured once at batch 1 (batch-linear for this graph)
-    try:
-        f_per_eval = flops_per_forward(
-            unet, jnp.zeros((1, 32, 32, 1), jnp.float32), jnp.zeros((1,), jnp.int32)
-        )
-    except Exception:
-        f_per_eval = None
+    f_per_eval = None
+    if not args.no_mfu:
+        try:
+            f_per_eval = flops_per_forward(
+                unet, jnp.zeros((1,) + shape, jnp.float32), jnp.zeros((1,), jnp.int32)
+            )
+        except Exception:
+            pass
 
     results = []
     for batch in batch_list:
-        x = jnp.zeros((batch, 32, 32, 1), jnp.float32)
+        x = jnp.zeros((batch,) + shape, jnp.float32)
         params = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((batch,), jnp.int32))[
             "params"
         ]
         model_fn = jax.tree_util.Partial(
             lambda p, xx, tt: unet.apply({"params": p}, xx, tt), params
         )
-        x0 = jax.random.uniform(jax.random.PRNGKey(1), (batch, 32, 32, 1))
+        x0 = jax.random.uniform(jax.random.PRNGKey(1), (batch,) + shape)
         noise = jax.random.normal(jax.random.PRNGKey(2), (K,) + x0.shape)
 
         for g in group_list:
@@ -146,7 +160,17 @@ def main() -> None:
             print(json.dumps(row), flush=True)
 
     best = max(results, key=lambda r: r["recons_per_sec"])
-    print(json.dumps({"best": best, "backend": backend, "skip": args.skip}))
+    print(
+        json.dumps(
+            {
+                "best": best,
+                "backend": backend,
+                "skip": args.skip,
+                "model": model,
+                "shape": list(shape),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
