@@ -126,11 +126,16 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         spatial = x.ndim - 2
+        # explicit (1, 1) padding, NOT "SAME": for stride 2 XLA's SAME pads
+        # (0, 1), which shifts the conv windows one pixel off the reference's
+        # torch Conv(k=3, s=2, padding=1) — verified numerically; matching it
+        # makes converted reference checkpoints (scripts/
+        # convert_reference_checkpoint.py) bit-compatible
         return nn.Conv(
             self.out_channels,
             (3,) * spatial,
             strides=(2,) * spatial,
-            padding="SAME",
+            padding=[(1, 1)] * spatial,
             dtype=self.dtype,
             name="conv",
         )(x)

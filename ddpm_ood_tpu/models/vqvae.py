@@ -101,13 +101,16 @@ class Encoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         spatial = x.ndim - 2
         for i, ch in enumerate(self.num_channels):
-            stride, kernel, dilation, _pad = self.downsample_parameters[i]
+            stride, kernel, dilation, pad = self.downsample_parameters[i]
+            # honor the config's explicit torch-style padding (reference
+            # train_vqvae.py:30-39 tuples) — for the default (2,4,1,1) XLA's
+            # SAME coincides with it, but not for general user configs
             x = nn.Conv(
                 ch,
                 (kernel,) * spatial,
                 strides=(stride,) * spatial,
                 kernel_dilation=(dilation,) * spatial,
-                padding="SAME",
+                padding=[(int(pad), int(pad))] * spatial,
                 dtype=self.dtype,
             )(x)
             if self.dropout > 0:
