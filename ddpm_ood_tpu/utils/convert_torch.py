@@ -103,11 +103,23 @@ def _module_spec(name: str) -> Tuple[List[str], Dict[str, Tuple[List[str], str]]
     raise KeyError(f"No torch mapping for UNet module {name!r}")
 
 
+def _flip_spatial(t: np.ndarray, n_spatial: int) -> np.ndarray:
+    return t[tuple(slice(None, None, -1) for _ in range(n_spatial))].copy()
+
+
 def _to_flax(t: np.ndarray, kind: str) -> np.ndarray:
     t = np.asarray(t)
     if kind == "conv":
         # (O, I, *k) -> (*k, I, O)
         return np.transpose(t, tuple(range(2, t.ndim)) + (1, 0)) if t.ndim > 1 else t
+    if kind == "convtranspose":
+        # torch ConvTranspose (I, O, *k) -> lhs-dilated-conv kernel (*k, I, O)
+        # with the spatial taps FLIPPED (verified vs torch conv_transpose2d in
+        # tests/test_convert_torch.py — transpose alone is numerically wrong)
+        if t.ndim > 1:
+            t = np.transpose(t, tuple(range(2, t.ndim)) + (0, 1))
+            t = _flip_spatial(t, t.ndim - 2)
+        return t
     if kind == "linear":
         return t.T if t.ndim == 2 else t
     return t
@@ -122,6 +134,11 @@ def _to_torch(t: np.ndarray, kind: str) -> np.ndarray:
             if t.ndim > 1
             else t
         )
+    if kind == "convtranspose":
+        if t.ndim > 1:
+            t = _flip_spatial(t, t.ndim - 2)
+            t = np.transpose(t, (t.ndim - 2, t.ndim - 1) + tuple(range(t.ndim - 2)))
+        return t
     if kind == "linear":
         return t.T if t.ndim == 2 else t
     return t
@@ -183,6 +200,155 @@ def torch_to_flax_unet(
 
     unused = sorted(set(flat_torch) - used)
     return out, {"matched": matched, "missing": missing, "unused": unused}
+
+
+# ---------------------------------------------------------------------------
+# VQVAE (monai-generative generative.networks.nets.VQVAE, reference
+# vqvae_trainer.py:50-70). torch module layout: encoder/decoder are flat
+# `blocks` ModuleLists interleaving monai Convolution (weights at `.conv`),
+# VQVAEResidualUnit (`.conv1.conv` / `.conv2.conv`), and transposed
+# Convolution in the decoder; the EMA quantizer lives at
+# quantizer.quantizer.{embedding.weight, ema_cluster_size, ema_w}.
+# This framework's tree (models/vqvae.py): encoder/Conv_{i} (strided per level
+# + final to-embedding conv), encoder/VQVAEResidualUnit_{level*R+j}, decoder
+# mirrored with ConvTransposeTorchLike_{i}; quantizer state in the "ema"
+# collection as {embedding, cluster_size, embed_avg}.
+# ---------------------------------------------------------------------------
+
+
+def _vqvae_plan(params_template) -> List[Tuple[Tuple[str, str], List[str], str]]:
+    """[(flax (module, submodule-or-'') path, torch key prefixes, kind)] for
+    every conv-carrying module, derived from the template's structure."""
+    plan: List[Tuple[Tuple[str, str], List[str], str]] = []
+
+    def _num(name: str) -> int:
+        return int(name.rsplit("_", 1)[1])
+
+    for side in ("encoder", "decoder"):
+        mods = params_template[side]
+        convs = sorted((n for n in mods if n.startswith("Conv_")), key=_num)
+        res = sorted((n for n in mods if "ResidualUnit" in n), key=_num)
+        trans = sorted((n for n in mods if "ConvTranspose" in n), key=_num)
+        if side == "encoder":
+            n_levels = len(convs) - 1  # strided per level + final embedding conv
+        else:
+            n_levels = len(trans)
+        r = len(res) // max(n_levels, 1)
+
+        def block_key(b: int) -> str:
+            return f"{side}.blocks.{b}"
+
+        if side == "encoder":
+            for i, conv in enumerate(convs):
+                b = i * (r + 1)  # strided conv opens each level; final lands after
+                plan.append(((side, conv), [block_key(b) + ".conv"], "conv"))
+            for k, unit in enumerate(res):
+                level, j = divmod(k, max(r, 1))
+                b = level * (r + 1) + 1 + j
+                plan.append(
+                    ((side, unit + "/Conv_0"), [block_key(b) + ".conv1.conv"], "conv")
+                )
+                plan.append(
+                    ((side, unit + "/Conv_1"), [block_key(b) + ".conv2.conv"], "conv")
+                )
+        else:
+            plan.append(((side, convs[0]), [block_key(0) + ".conv"], "conv"))
+            for k, unit in enumerate(res):
+                level, j = divmod(k, max(r, 1))
+                b = 1 + level * (r + 1) + j
+                plan.append(
+                    ((side, unit + "/Conv_0"), [block_key(b) + ".conv1.conv"], "conv")
+                )
+                plan.append(
+                    ((side, unit + "/Conv_1"), [block_key(b) + ".conv2.conv"], "conv")
+                )
+            for i, tr in enumerate(trans):
+                b = 1 + i * (r + 1) + r
+                plan.append(((side, tr), [block_key(b) + ".conv"], "convtranspose"))
+    return plan
+
+
+_QUANTIZER_KEYS = {
+    "embedding": (["quantizer.quantizer.embedding.weight",
+                   "quantizer.embedding.weight"], "norm"),
+    "cluster_size": (["quantizer.quantizer.ema_cluster_size",
+                      "quantizer.ema_cluster_size"], "norm"),
+    "embed_avg": (["quantizer.quantizer.ema_w", "quantizer.ema_w"], "norm"),
+}
+
+
+def torch_to_flax_vqvae(
+    torch_state: Mapping[str, np.ndarray], params_template, ema_template
+) -> Tuple[dict, dict, dict]:
+    """Map a reference VQVAE state_dict onto (params, ema) templates.
+
+    Returns (params, ema, report) — report as in torch_to_flax_unet."""
+    flat = {k: np.asarray(v) for k, v in torch_state.items()}
+    used, missing = set(), []
+    matched = 0
+
+    def pick(prefixes: List[str], suffixes: List[str], kind, template_leaf, label):
+        nonlocal matched
+        for p in prefixes:
+            for s in suffixes:
+                key = f"{p}.{s}" if s else p
+                if key in flat:
+                    arr = _to_flax(flat[key], kind)
+                    if arr.shape != np.asarray(template_leaf).shape:
+                        raise ValueError(
+                            f"{key}: converted shape {arr.shape} != expected "
+                            f"{np.asarray(template_leaf).shape} for {label}"
+                        )
+                    used.add(key)
+                    matched += 1
+                    return arr.astype(np.asarray(template_leaf).dtype)
+        missing.append(label)
+        return np.asarray(template_leaf)
+
+    params = jax_tree_to_dict(params_template)
+    for (side, path), prefixes, kind in _vqvae_plan(params_template):
+        node = params[side]
+        parts = path.split("/")
+        for part in parts[:-1]:
+            node = node[part]
+        leaf_mod = parts[-1]
+        node[leaf_mod] = {
+            "kernel": pick(prefixes, ["weight"], kind,
+                           node[leaf_mod]["kernel"], f"{side}/{path}/kernel"),
+            "bias": pick(prefixes, ["bias"], "norm",
+                         node[leaf_mod]["bias"], f"{side}/{path}/bias"),
+        }
+
+    ema = jax_tree_to_dict(ema_template)
+    for leaf, (cands, kind) in _QUANTIZER_KEYS.items():
+        ema["quantizer"][leaf] = pick(
+            cands, [""], kind, ema["quantizer"][leaf], f"quantizer/{leaf}"
+        )
+
+    unused = sorted(set(flat) - used)
+    return params, ema, {"matched": matched, "missing": missing, "unused": unused}
+
+
+def flax_to_torch_vqvae(params, ema) -> Dict[str, np.ndarray]:
+    """Export (params, ema) to a monai-generative-style VQVAE state_dict."""
+    out: Dict[str, np.ndarray] = {}
+    for (side, path), prefixes, kind in _vqvae_plan(params):
+        node = params[side]
+        for part in path.split("/"):
+            node = node[part]
+        out[prefixes[0] + ".weight"] = _to_torch(np.asarray(node["kernel"]), kind)
+        out[prefixes[0] + ".bias"] = np.asarray(node["bias"])
+    for leaf, (cands, kind) in _QUANTIZER_KEYS.items():
+        out[cands[0]] = np.asarray(ema["quantizer"][leaf])
+    return out
+
+
+def jax_tree_to_dict(tree):
+    """Deep-copy a (possibly frozen) nested mapping into plain mutable dicts,
+    keeping leaves as-is."""
+    if isinstance(tree, Mapping):
+        return {k: jax_tree_to_dict(v) for k, v in tree.items()}
+    return tree
 
 
 def flax_to_torch_unet(params) -> Dict[str, np.ndarray]:

@@ -41,8 +41,19 @@ def main() -> None:
     p.add_argument("--torch_checkpoint", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--model_name", required=True)
+    p.add_argument(
+        "--component", default="unet", choices=["unet", "vqvae"],
+        help="unet: a DDPM/LDM checkpoint; vqvae: a stage-1 VQVAE checkpoint "
+        "(converted for use as --vqvae_checkpoint; the reference saves no "
+        "discriminator/optimizer_g state, so GAN-training resume is out of scope)",
+    )
     p.add_argument("--model_type", default="small", help="small | big (reference base.py:65-88)")
     p.add_argument("--spatial_dimension", type=int, default=2)
+    p.add_argument(
+        "--vqvae_config", default=None,
+        help="path to the reference run's vqvae_config.json (required for "
+        "--component vqvae; same schema both sides, copied into the output run dir)",
+    )
     p.add_argument(
         "--as_epoch", type=int, default=None,
         help="write checkpoint_{N} instead of the rolling `checkpoint`",
@@ -61,6 +72,10 @@ def main() -> None:
     else:  # bare state_dict
         sd, epoch, global_step, best_loss = raw, 0, 0, 1000.0
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+    if args.component == "vqvae":
+        _convert_vqvae(args, sd, epoch, global_step, best_loss)
+        return
 
     # channel counts come from the weights themselves
     conv_in_key = next(k for k in sd if k.startswith("conv_in") and k.endswith("weight"))
@@ -115,6 +130,67 @@ def main() -> None:
     path = ckpt.save_checkpoint(run_dir, name, payload)
     ckpt.wait_for_checkpoints()
     print(f"Wrote {path}")
+
+
+def _convert_vqvae(args, sd, epoch, global_step, best_loss) -> None:
+    if not args.vqvae_config:
+        print("--component vqvae requires --vqvae_config (the reference run's "
+              "vqvae_config.json)", file=sys.stderr)
+        sys.exit(2)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ddpm_ood_tpu.models.vqvae import VQVAE
+    from ddpm_ood_tpu.utils import checkpoint as ckpt
+    from ddpm_ood_tpu.utils.convert_torch import torch_to_flax_vqvae
+
+    cfg = json.loads(pathlib.Path(args.vqvae_config).read_text())
+    build = dict(cfg)
+    for key in ("downsample_parameters", "upsample_parameters",
+                "num_channels", "num_res_channels"):
+        if key in build and isinstance(build[key], list):
+            build[key] = tuple(
+                tuple(v) if isinstance(v, list) else v for v in build[key]
+            )
+    model = VQVAE(**build)
+    spatial = int(build.get("spatial_dims", args.spatial_dimension))
+    dummy = jnp.zeros((1,) + (32,) * spatial + (int(build["in_channels"]),))
+    variables = model.init(jax.random.PRNGKey(0), dummy)
+    t_params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    t_ema = jax.tree_util.tree_map(np.asarray, variables["ema"])
+
+    params, ema, report = torch_to_flax_vqvae(sd, t_params, t_ema)
+    print(json.dumps({
+        "component": "vqvae",
+        "matched": report["matched"],
+        "missing": report["missing"],
+        "unused": report["unused"],
+    }, indent=2))
+    if report["missing"]:
+        print("ERROR: flax parameters above had no torch source — wrong "
+              "vqvae_config, or an unknown monai-generative naming variant "
+              "(extend ddpm_ood_tpu/utils/convert_torch.py).", file=sys.stderr)
+        sys.exit(1)
+    if args.dry_run:
+        return
+
+    run_dir = pathlib.Path(args.output_dir) / args.model_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "global_step": global_step,
+        "best_loss": best_loss,
+        "model_state_dict": {"params": params, "ema": ema},
+    }
+    name = f"checkpoint_{args.as_epoch}" if args.as_epoch is not None else "checkpoint"
+    path = ckpt.save_checkpoint(run_dir, name, payload)
+    ckpt.wait_for_checkpoints()
+    ckpt.save_config_json(run_dir, "vqvae_config.json", cfg)
+    print(f"Wrote {path} (+ vqvae_config.json) — pass "
+          f"--vqvae_checkpoint={path} to train_ddpm.py / reconstruct.py")
 
 
 if __name__ == "__main__":

@@ -189,3 +189,110 @@ def test_converter_cli_end_to_end(tmp_path):
         params,
         payload["model_state_dict"],
     )
+
+
+# ---------------------------------------------------------------------------
+# VQVAE conversion
+# ---------------------------------------------------------------------------
+
+VQ_CFG = dict(
+    spatial_dims=2, in_channels=1, out_channels=1, num_res_layers=2,
+    downsample_parameters=((2, 4, 1, 1), (2, 4, 1, 1)),
+    upsample_parameters=((2, 4, 1, 1, 0), (2, 4, 1, 1, 0)),
+    num_channels=(8, 16), num_res_channels=(8, 16),
+    num_embeddings=32, embedding_dim=4,
+)
+
+
+def _tiny_vqvae(seed=0):
+    from ddpm_ood_tpu.models.vqvae import VQVAE
+
+    m = VQVAE(**VQ_CFG)
+    vs = m.init(jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 1)))
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+    return m, to_np(vs["params"]), to_np(vs["ema"])
+
+
+def test_vqvae_roundtrip_exact():
+    from ddpm_ood_tpu.utils.convert_torch import (
+        flax_to_torch_vqvae,
+        torch_to_flax_vqvae,
+    )
+
+    _, params, ema = _tiny_vqvae()
+    sd = flax_to_torch_vqvae(params, ema)
+    p2, e2, report = torch_to_flax_vqvae(sd, params, ema)
+    assert report["missing"] == []
+    assert report["unused"] == []
+    for a, b in ((params, p2), (ema, e2)):
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+            a, b,
+        )
+
+
+def test_convtranspose_matches_torch():
+    """ConvTransposeTorchLike + the converter's transpose+flip must reproduce
+    torch conv_transpose2d exactly (transpose without the spatial flip is
+    numerically wrong — this is the regression test for that)."""
+    from ddpm_ood_tpu.models.vqvae import ConvTransposeTorchLike
+    from ddpm_ood_tpu.utils.convert_torch import _to_flax
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 6, 6, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5, 4, 4)).astype(np.float32)  # torch (I, O, k, k)
+    b = rng.normal(size=(5,)).astype(np.float32)
+
+    t = torch.nn.functional.conv_transpose2d(
+        torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(w), torch.tensor(b),
+        stride=2, padding=1, output_padding=0,
+    ).numpy().transpose(0, 2, 3, 1)
+
+    mod = ConvTransposeTorchLike(out_channels=5, kernel_size=4, stride=2, padding=1)
+    f = np.asarray(mod.apply(
+        {"params": {"kernel": jnp.asarray(_to_flax(w, "convtranspose")),
+                    "bias": jnp.asarray(b)}},
+        jnp.asarray(x)))
+    np.testing.assert_allclose(t, f, atol=1e-4)
+
+
+def test_vqvae_converter_cli_end_to_end(tmp_path):
+    from ddpm_ood_tpu.utils.convert_torch import flax_to_torch_vqvae
+
+    _, params, ema = _tiny_vqvae(seed=5)
+    sd = {k: torch.tensor(v) for k, v in flax_to_torch_vqvae(params, ema).items()}
+    pth = tmp_path / "checkpoint_9.pth"
+    torch.save({"epoch": 9, "global_step": 77, "model_state_dict": sd,
+                "optimizer_state_dict": {}, "best_loss": 0.5}, pth)
+    cfg_path = tmp_path / "vqvae_config.json"
+    cfg_path.write_text(json.dumps(
+        {k: list(v) if isinstance(v, tuple) else v for k, v in VQ_CFG.items()}
+    ))
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts" / "convert_reference_checkpoint.py"),
+            "--torch_checkpoint", str(pth),
+            "--component", "vqvae",
+            "--vqvae_config", str(cfg_path),
+            "--output_dir", str(tmp_path / "out"),
+            "--model_name", "vq_converted",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+
+    from ddpm_ood_tpu.utils import checkpoint as ckpt
+
+    run_dir = tmp_path / "out" / "vq_converted"
+    payload = ckpt.restore_checkpoint(run_dir / "checkpoint")
+    assert (run_dir / "vqvae_config.json").exists()
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, payload["model_state_dict"]["params"],
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ema, payload["model_state_dict"]["ema"],
+    )
