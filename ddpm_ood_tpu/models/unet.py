@@ -31,6 +31,26 @@ from flax import linen as nn
 Dtype = jnp.dtype
 
 
+class FusedGroupNormAct(nn.Module):
+    """GroupNorm (+optional SiLU) with fp32 statistics and a single-HBM-pass
+    Pallas kernel on TPU (ops/groupnorm.py); identical math via XLA elsewhere.
+    Param tree ({scale, bias}) matches flax nn.GroupNorm, so checkpoints are
+    interchangeable with the previous GroupNorm+silu composition."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+    act: str = "none"  # "none" | "silu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.groupnorm import groupnorm_act
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return groupnorm_act(x, scale, bias, self.num_groups, self.epsilon, self.act)
+
+
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
     """Sinusoidal embedding, sin-then-cos, matching monai-generative's convention."""
     half = dim // 2
@@ -53,10 +73,9 @@ class ResnetBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         spatial = x.ndim - 2
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(
-            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm1"
-        )(x)
-        h = nn.silu(h).astype(self.dtype)
+        h = FusedGroupNormAct(
+            self.norm_num_groups, act="silu", name="norm1"
+        )(x).astype(self.dtype)
         h = nn.Conv(
             self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv1"
         )(h)
@@ -64,10 +83,9 @@ class ResnetBlock(nn.Module):
             nn.silu(temb.astype(jnp.float32)).astype(self.dtype)
         )
         h = h + t.reshape(t.shape[:1] + (1,) * spatial + t.shape[1:])
-        h = nn.GroupNorm(
-            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm2"
-        )(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = FusedGroupNormAct(
+            self.norm_num_groups, act="silu", name="norm2"
+        )(h).astype(self.dtype)
         h = nn.Conv(
             self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv2"
         )(h)
@@ -91,9 +109,7 @@ class AttentionBlock(nn.Module):
         num_heads = max(ch // self.num_head_channels, 1)
         head_dim = ch // num_heads
 
-        h = nn.GroupNorm(
-            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm"
-        )(x).astype(self.dtype)
+        h = FusedGroupNormAct(self.norm_num_groups, name="norm")(x).astype(self.dtype)
         h = h.reshape(batch, -1, ch)  # (B, N, C)
         q = nn.Dense(ch, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(ch, dtype=self.dtype, name="to_k")(h)
@@ -256,10 +272,9 @@ class DiffusionModelUNet(nn.Module):
             if level != 0:
                 h = Upsample(chs[level], self.dtype, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(
-            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="norm_out"
-        )(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = FusedGroupNormAct(
+            self.norm_num_groups, act="silu", name="norm_out"
+        )(h).astype(self.dtype)
         h = nn.Conv(
             self.out_channels,
             (3,) * self.spatial_dims,
