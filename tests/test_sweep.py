@@ -68,6 +68,25 @@ def test_group_t_starts_cover_all():
         np.testing.assert_array_equal(suffix, ts[ts <= chunk.max()])
 
 
+def test_group_t_starts_high_group_counts():
+    """The autotuned defaults use many groups (bench: 16; per-lane = K); the
+    partition must stay exact under clamping (num_groups > K) and per-lane
+    grouping, and total masked evals must shrink monotonically with G."""
+    ts = pndm_timesteps(1000, 100)
+    t_starts = pndm_start_points(ts, 4)
+    k = len(t_starts)
+    costs = []
+    for g in (1, 3, 8, 16, k, k + 50):
+        groups = group_t_starts(ts, t_starts, g)
+        regrouped = np.concatenate([c for _, c in groups])
+        np.testing.assert_array_equal(regrouped, t_starts)
+        assert len(groups) == min(g, k)
+        costs.append(sum(len(s) * len(c) for s, c in groups))
+    assert costs == sorted(costs, reverse=True)  # more groups, fewer evals
+    ideal = sum(int((ts <= s).sum()) for s in t_starts)
+    assert costs[-1] == ideal  # per-lane grouping is exactly the ideal count
+
+
 def test_start_point_counts_match_reference_table():
     """README.md:114-120 — skip factor -> reconstructions per image."""
     ts = pndm_timesteps(1000, 100)
