@@ -1,0 +1,197 @@
+"""Long-lived OOD scoring service over a trained run — a serving surface.
+
+The reference is a batch research pipeline; this module adds the deployment
+story: load a trained (possibly latent) DDPM once, keep the compiled
+reconstruction-sweep program resident on the accelerator, and score incoming
+images against the validation per-t statistics — the same Z-score math
+`ood_detection.py` applies offline (reference ood_detection.py:150-174), but
+per request instead of per CSV.
+
+Pieces:
+  - build_recon_program(trainer, args, ...): the single place a ReconProgram is
+    assembled from a trainer's model/VQ-VAE/schedule state (shared with the
+    batch Reconstruct pipeline so serving and offline scoring cannot diverge);
+  - ScoringService: pads each request up to the compiled batch size (static
+    shapes: one compile, every request reuses it), runs the sweep, z-scores
+    against results_val.csv stats, returns per-image scores;
+  - OODRequestHandler / serve_forever: a dependency-free stdlib HTTP front end
+    (POST /score with an .npy body -> JSON; GET /healthz).
+
+Throughput note: requests serialize on the device (one sweep in flight) —
+at the measured 373 recons/s (BASELINE.md) a skip-4 request for one image
+costs ~70 ms of device time; batch requests amortize exactly like the
+offline sweep.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from .ood.score import dedup
+from .recon.sweep import ReconProgram
+
+
+def build_recon_program(
+    trainer,
+    args,
+    perceptual_fn=None,
+    simplex_noise_fn=None,
+    skip_factor: Optional[int] = None,
+) -> ReconProgram:
+    """Assemble the scoring program from a BaseTrainer-derived object (which
+    owns model_fn / encode_fn / decode_fn / sched / b_scale / latent_pad)."""
+    return ReconProgram(
+        sched=trainer.sched,
+        model_fn=trainer.model_fn,
+        num_inference_steps=int(getattr(args, "num_inference_steps", 100)),
+        inference_skip_factor=int(
+            skip_factor
+            if skip_factor is not None
+            else getattr(args, "inference_skip_factor", 1)
+        ),
+        b_scale=trainer.b_scale,
+        sampler=getattr(args, "sampler", "plms"),
+        num_groups=int(getattr(args, "recon_groups", 8)),
+        latent_pad=trainer.latent_pad,
+        encode_fn=trainer.encode_fn,
+        decode_fn=trainer.decode_fn,
+        perceptual_fn=perceptual_fn,
+        simplex_noise_fn=simplex_noise_fn,
+    )
+
+
+class ScoringService:
+    """Score images against a trained run's validation statistics.
+
+    program: a ReconProgram; batch_size: the compiled batch (requests are
+    wrap-padded up to it — one compile serves every request size <= batch);
+    val_stats: per-t mean/std of mse and perceptual_difference, from a
+    `results_val.csv` written by the reconstruction stage."""
+
+    def __init__(
+        self,
+        program: ReconProgram,
+        val_stats: pd.DataFrame,
+        batch_size: int,
+        model_name: str = "model",
+    ):
+        self.program = program
+        self.batch_size = int(batch_size)
+        self.model_name = model_name
+        self._lock = threading.Lock()  # one sweep in flight on the device
+        self._rng = jax.random.PRNGKey(0)
+        # per-t stats tables aligned to the program's start points
+        self._stats: Dict[str, Dict[int, tuple]] = {}
+        for target in ("mse", "perceptual_difference"):
+            agg = val_stats.groupby("t")[target].agg(["mean", "std"])
+            self._stats[target] = {
+                int(t): (float(r["mean"]), float(r["std"]) + 1e-12)
+                for t, r in agg.iterrows()
+            }
+        missing = [
+            int(t) for t in program.t_starts if int(t) not in self._stats["mse"]
+        ]
+        if missing:
+            raise ValueError(
+                f"results_val.csv lacks stats for start points {missing} — "
+                "the service must use the same num_inference_steps / "
+                "inference_skip_factor as the validation reconstruction run"
+            )
+
+    @classmethod
+    def from_val_csv(cls, program, val_csv: str | Path, batch_size: int,
+                     model_name: str = "model") -> "ScoringService":
+        df = dedup(pd.read_csv(val_csv))
+        return cls(program, df, batch_size, model_name)
+
+    def score(self, images: np.ndarray) -> list:
+        """images: (B, *spatial, C) floats in [0, 1], B <= batch_size.
+        Returns one dict per image: z_score_mse / z_score_perceptual (mean
+        over start points, the reference's per-image aggregation) + the raw
+        per-t values."""
+        images = np.asarray(images, np.float32)
+        b = images.shape[0]
+        if b == 0:
+            return []
+        if b > self.batch_size:
+            raise ValueError(f"batch {b} > service batch_size {self.batch_size}")
+        pad = np.take(images, np.arange(self.batch_size) % b, axis=0)
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
+            t_starts, mse, perc = self.program(pad, sub)
+        mse = np.asarray(mse)[:, :b]          # (K, B)
+        perc = np.asarray(perc)[:, :b]
+        out = []
+        for i in range(b):
+            rec: Dict[str, object] = {"per_t": {}}
+            zs = {"mse": [], "perceptual_difference": []}
+            for k, t in enumerate(int(t) for t in t_starts):
+                m_mu, m_sd = self._stats["mse"][t]
+                p_mu, p_sd = self._stats["perceptual_difference"][t]
+                zs["mse"].append((float(mse[k, i]) - m_mu) / m_sd)
+                zs["perceptual_difference"].append(
+                    (float(perc[k, i]) - p_mu) / p_sd
+                )
+                rec["per_t"][t] = {
+                    "mse": float(mse[k, i]),
+                    "perceptual_difference": float(perc[k, i]),
+                }
+            rec["z_score_mse"] = float(np.mean(zs["mse"]))
+            rec["z_score_perceptual"] = float(np.mean(zs["perceptual_difference"]))
+            out.append(rec)
+        return out
+
+
+def make_handler(service: ScoringService):
+    class OODRequestHandler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "model": service.model_name,
+                    "batch_size": service.batch_size,
+                    "t_starts": [int(t) for t in service.program.t_starts],
+                })
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                arr = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
+                self._json(200, {"scores": service.score(arr)})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # malformed body etc.
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return OODRequestHandler
+
+
+def serve_forever(service: ScoringService, host: str = "0.0.0.0", port: int = 8700):
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f"serving OOD scores for {service.model_name} on {host}:{server.server_port}")
+    server.serve_forever()

@@ -98,21 +98,16 @@ class Reconstruct(BaseTrainer):
 
     def _program(self, skip_factor: int) -> ReconProgram:
         if skip_factor not in self._programs:
-            self._programs[skip_factor] = ReconProgram(
-                sched=self.sched,
-                model_fn=self.model_fn,
-                num_inference_steps=int(
-                    getattr(self.args, "num_inference_steps", 100)
-                ),
-                inference_skip_factor=int(skip_factor),
-                b_scale=self.b_scale,
-                sampler=getattr(self.args, "sampler", "plms"),
-                num_groups=int(getattr(self.args, "recon_groups", 8)),
-                latent_pad=self.latent_pad,
-                encode_fn=self.encode_fn,  # Partial binding VQ-VAE vars, or None
-                decode_fn=self.decode_fn,
+            # shared assembly with the serving surface (serve.py) so offline
+            # scoring and the long-lived service cannot diverge
+            from ..serve import build_recon_program
+
+            self._programs[skip_factor] = build_recon_program(
+                self,
+                self.args,
                 perceptual_fn=self._perceptual_fn(),
                 simplex_noise_fn=self._sweep_simplex if self.simplex_noise else None,
+                skip_factor=skip_factor,
             )
         return self._programs[skip_factor]
 

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Serve OOD scores for a trained run over HTTP.
+
+Loads the model exactly as reconstruct.py does (same flags for geometry /
+schedule / VQ-VAE), keeps the compiled sweep resident, and scores POSTed
+images against the run's validation statistics (`<run>/ood/results_val.csv`
+from a prior `reconstruct.py --run_val=1` with the SAME num_inference_steps
+and inference_skip_factor).
+
+  python scripts/serve.py --output_dir=... --model_name=fashionmnist \
+      --model_type=small --is_grayscale=1 --beta_schedule=scaled_linear_beta \
+      --beta_start=0.0015 --beta_end=0.0195 --image_size=28 \
+      --num_inference_steps=100 --inference_skip_factor=4 --batch_size=32 \
+      --port=8700
+
+  curl localhost:8700/healthz
+  python - <<'PY'
+  import io, urllib.request, numpy as np
+  buf = io.BytesIO(); np.save(buf, np.random.rand(2, 28, 28, 1).astype("float32"))
+  req = urllib.request.Request("http://localhost:8700/score", data=buf.getvalue())
+  print(urllib.request.urlopen(req).read().decode())
+  PY
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--model_name", required=True)
+    p.add_argument("--model_type", default="small")
+    p.add_argument("--spatial_dimension", type=int, default=2)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--image_roi", default=None)
+    p.add_argument("--is_grayscale", type=int, default=0)
+    p.add_argument("--prediction_type", default="epsilon")
+    p.add_argument("--beta_schedule", default="linear_beta")
+    p.add_argument("--beta_start", type=float, default=1e-4)
+    p.add_argument("--beta_end", type=float, default=2e-2)
+    p.add_argument("--b_scale", type=float, default=1.0)
+    p.add_argument("--snr_shift", type=float, default=1)
+    p.add_argument("--vqvae_checkpoint", default=None)
+    p.add_argument("--latent_pad", default=None)
+    p.add_argument("--eval_checkpoint", default=None)
+    p.add_argument("--ddpm_checkpoint_epoch", default=None)
+    p.add_argument("--num_inference_steps", type=int, default=100)
+    p.add_argument("--inference_skip_factor", type=int, default=1)
+    p.add_argument("--sampler", default="plms")
+    p.add_argument("--recon_groups", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="compiled request batch; requests up to this size share "
+                   "one compile")
+    p.add_argument("--results_val", default=None,
+                   help="validation stats CSV (default <run>/ood/results_val.csv)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+    if args.eval_checkpoint and not args.ddpm_checkpoint_epoch:
+        args.ddpm_checkpoint_epoch = args.eval_checkpoint
+    return args
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+
+    from ddpm_ood_tpu.losses.lpips import PerceptualLoss
+    from ddpm_ood_tpu.serve import ScoringService, build_recon_program, serve_forever
+    from ddpm_ood_tpu.trainers.base import BaseTrainer
+
+    trainer = BaseTrainer(args)
+    if not trainer.found_checkpoint:
+        raise FileNotFoundError(
+            f"No checkpoint under {pathlib.Path(args.output_dir) / args.model_name}"
+        )
+    perceptual = PerceptualLoss(
+        dimensions=args.spatial_dimension,
+        is_fake_3d=args.spatial_dimension == 3,
+        lpips_normalize=True,
+    )
+    program = build_recon_program(trainer, args, perceptual_fn=perceptual)
+    val_csv = args.results_val or (
+        pathlib.Path(args.output_dir) / args.model_name / "ood" / "results_val.csv"
+    )
+    service = ScoringService.from_val_csv(
+        program, val_csv, args.batch_size, model_name=args.model_name
+    )
+    serve_forever(service, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

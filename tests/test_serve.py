@@ -1,0 +1,112 @@
+"""Serving surface (ddpm_ood_tpu/serve.py): scoring service + HTTP front end."""
+
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from ddpm_ood_tpu.diffusion.schedules import make_schedule
+from ddpm_ood_tpu.models.unet import make_unet
+from ddpm_ood_tpu.recon.sweep import ReconProgram
+from ddpm_ood_tpu.serve import ScoringService, make_handler
+
+SIZE = 16
+
+
+@pytest.fixture(scope="module")
+def program():
+    unet = make_unet("tiny", 2, 1, 1)
+    x = jnp.zeros((1, SIZE, SIZE, 1))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))["params"]
+    model_fn = jax.tree_util.Partial(
+        lambda p, xx, tt: unet.apply({"params": p}, xx, tt), params
+    )
+    sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+    return ReconProgram(
+        sched=sched, model_fn=model_fn,
+        num_inference_steps=10, inference_skip_factor=3, num_groups=2,
+    )
+
+
+def _val_stats(program):
+    rows = []
+    for t in (int(t) for t in program.t_starts):
+        for i in range(4):
+            rows.append({
+                "filename": f"v{i}", "type": "val", "t": t,
+                "mse": 0.1 + 0.01 * i, "perceptual_difference": 0.0,
+            })
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def service(program):
+    return ScoringService(program, _val_stats(program), batch_size=4,
+                          model_name="tiny_test")
+
+
+def test_score_shapes_and_fields(service, program):
+    imgs = np.random.default_rng(0).uniform(size=(3, SIZE, SIZE, 1)).astype("float32")
+    out = service.score(imgs)
+    assert len(out) == 3
+    for rec in out:
+        assert np.isfinite(rec["z_score_mse"])
+        assert np.isfinite(rec["z_score_perceptual"])
+        assert set(rec["per_t"]) == {int(t) for t in program.t_starts}
+
+
+def test_oversize_batch_rejected(service):
+    with pytest.raises(ValueError, match="batch"):
+        service.score(np.zeros((5, SIZE, SIZE, 1), "float32"))
+
+
+def test_stats_mismatch_rejected(program):
+    bad = _val_stats(program)
+    bad = bad[bad["t"] != int(program.t_starts[0])]  # drop one start point
+    with pytest.raises(ValueError, match="start points"):
+        ScoringService(program, bad, batch_size=2)
+
+
+def test_http_round_trip(service):
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_port
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["model"] == "tiny_test"
+        assert health["batch_size"] == 4
+
+        buf = io.BytesIO()
+        np.save(buf, np.random.default_rng(1).uniform(
+            size=(2, SIZE, SIZE, 1)).astype("float32"))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score", data=buf.getvalue()
+        )
+        with urllib.request.urlopen(req) as r:
+            payload = json.loads(r.read())
+        assert len(payload["scores"]) == 2
+        assert all(np.isfinite(s["z_score_mse"]) for s in payload["scores"])
+
+        # malformed body -> 400, named error
+        bad = urllib.request.Request(f"http://127.0.0.1:{port}/score", data=b"junk")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code == 400
+
+        # unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+        assert e.value.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
