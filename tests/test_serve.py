@@ -74,6 +74,25 @@ def test_stats_mismatch_rejected(program):
         ScoringService(program, bad, batch_size=2)
 
 
+def test_concurrent_requests_serialize_safely(service):
+    """Parallel callers share one device program behind the service lock;
+    both must complete with valid, independent results."""
+    imgs = np.random.default_rng(2).uniform(size=(2, SIZE, SIZE, 1)).astype("float32")
+    results = [None, None]
+
+    def worker(i):
+        results[i] = service.score(imgs)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for r in results:
+        assert r is not None and len(r) == 2
+        assert all(np.isfinite(rec["z_score_mse"]) for rec in r)
+
+
 def test_http_round_trip(service):
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
     port = server.server_port
