@@ -38,9 +38,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--torch_checkpoint", required=True)
-    p.add_argument("--output_dir", required=True)
-    p.add_argument("--model_name", required=True)
+    p.add_argument("--torch_checkpoint", required=True,
+                   help="the .pth to read (import) or write (--export)")
+    p.add_argument("--output_dir", default=None, help="import: destination root")
+    p.add_argument("--model_name", default=None, help="import: destination run name")
     p.add_argument(
         "--component", default="unet", choices=["unet", "vqvae"],
         help="unet: a DDPM/LDM checkpoint; vqvae: a stage-1 VQVAE checkpoint "
@@ -59,7 +60,20 @@ def main() -> None:
         help="write checkpoint_{N} instead of the rolling `checkpoint`",
     )
     p.add_argument("--dry_run", action="store_true", help="print the match report only")
+    p.add_argument(
+        "--export", default=None, metavar="ORBAX_CKPT",
+        help="REVERSE direction: read this framework's Orbax checkpoint "
+        "(a `checkpoint[_N]` directory) and write --torch_checkpoint as a "
+        "reference-schema .pth loadable by marksgraham/ddpm-ood. "
+        "--component selects unet|vqvae as usual.",
+    )
     args = p.parse_args()
+
+    if args.export:
+        _export(args)
+        return
+    if not args.output_dir or not args.model_name:
+        p.error("--output_dir and --model_name are required when importing")
 
     import torch  # CPU-only is fine; tensors go straight to numpy
 
@@ -130,6 +144,41 @@ def main() -> None:
     path = ckpt.save_checkpoint(run_dir, name, payload)
     ckpt.wait_for_checkpoints()
     print(f"Wrote {path}")
+
+
+def _export(args) -> None:
+    """Orbax checkpoint -> reference-schema .pth (the reverse migration)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    from ddpm_ood_tpu.utils import checkpoint as ckpt
+    from ddpm_ood_tpu.utils.convert_torch import (
+        flax_to_torch_unet,
+        flax_to_torch_vqvae,
+    )
+
+    payload = ckpt.restore_checkpoint(args.export)
+    msd = payload["model_state_dict"]
+    if args.component == "vqvae":
+        sd = flax_to_torch_vqvae(msd["params"], msd["ema"])
+    else:
+        sd = flax_to_torch_unet(msd)
+    out = {
+        "epoch": int(payload.get("epoch", 0)),
+        "global_step": int(payload.get("global_step", 0)),
+        "model_state_dict": {k: torch.tensor(np.asarray(v)) for k, v in sd.items()},
+        # reference schema slot; optimizer state is framework-specific
+        "optimizer_state_dict": {},
+        "best_loss": float(payload.get("best_loss", 1000.0)),
+    }
+    torch.save(out, args.torch_checkpoint)
+    print(json.dumps({
+        "component": args.component,
+        "exported_keys": len(sd),
+        "wrote": args.torch_checkpoint,
+    }, indent=2))
 
 
 def _convert_vqvae(args, sd, epoch, global_step, best_loss) -> None:

@@ -296,3 +296,38 @@ def test_vqvae_converter_cli_end_to_end(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         ema, payload["model_state_dict"]["ema"],
     )
+
+
+def test_export_cli_round_trip(tmp_path):
+    """Import a reference-schema .pth, export it back with --export, and
+    assert the torch state dicts match exactly — the bidirectional contract."""
+    _, params = _tiny_params(seed=11)
+    sd = {k: torch.tensor(v) for k, v in flax_to_torch_unet(params).items()}
+    src = tmp_path / "ref.pth"
+    torch.save({"epoch": 3, "global_step": 42, "model_state_dict": sd,
+                "optimizer_state_dict": {}, "best_loss": 0.25}, src)
+
+    def run(*extra):
+        out = subprocess.run(
+            [sys.executable,
+             str(REPO / "scripts" / "convert_reference_checkpoint.py"), *extra],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr
+        return out
+
+    run("--torch_checkpoint", str(src),
+        "--output_dir", str(tmp_path / "out"), "--model_name", "m",
+        "--model_type", "tiny", "--spatial_dimension", "2")
+    dst = tmp_path / "roundtrip.pth"
+    run("--torch_checkpoint", str(dst), "--model_type", "tiny",
+        "--export", str(tmp_path / "out" / "m" / "checkpoint"))
+
+    a = torch.load(src, map_location="cpu", weights_only=True)
+    b = torch.load(dst, map_location="cpu", weights_only=True)
+    assert b["epoch"] == 3 and b["global_step"] == 42 and b["best_loss"] == 0.25
+    assert set(a["model_state_dict"]) == set(b["model_state_dict"])
+    for k in a["model_state_dict"]:
+        np.testing.assert_array_equal(
+            a["model_state_dict"][k].numpy(), b["model_state_dict"][k].numpy()
+        )
