@@ -57,6 +57,12 @@ def _ddpm_model_flags(parser: argparse.ArgumentParser) -> None:
         "--simplex_noise", type=int, default=0,
         help="Use simplex instead of Gaussian noise.",
     )
+    parser.add_argument(
+        "--remat", type=int, default=0,
+        help="Rematerialize UNet res/attention blocks in the backward pass "
+        "(framework extension): trades ~30%% extra FLOPs for a large activation-"
+        "memory cut, for big 3D configs whose activations exceed HBM.",
+    )
 
 
 def parse_args_train_ddpm(argv=None) -> argparse.Namespace:
@@ -134,6 +140,12 @@ def parse_args_train_vqvae(argv=None) -> argparse.Namespace:
     parser.add_argument("--vqvae_dropout", default=0.0, type=float)
     parser.add_argument("--vqvae_ddp_sync", default=True, type=bool)
     parser.add_argument("--vqvae_learning_rate", default=3e-4, type=float)
+    parser.add_argument(
+        "--remat", type=int, default=0,
+        help="Rematerialize VQ-VAE residual units in the backward pass "
+        "(framework extension): cuts activation memory for the production 3D "
+        "pixel-space config (image_roi [160,160,128]); numerics unchanged.",
+    )
     parser.add_argument("--batch_size", type=int, default=4, help="Training batch size.")
     parser.add_argument("--n_epochs", type=int, default=300, help="Number of epochs to train.")
     parser.add_argument(
@@ -233,6 +245,13 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "start point; 'plms_ref' = the reference's exact carried-history "
         "semantics (sequential, for parity quantification); 'ddim' is "
         "deterministic and cheaper per step.",
+    )
+    parser.add_argument(
+        "--simplex_noise_mode", default="exact", choices=("exact", "device"),
+        help="With --simplex_noise: 'exact' draws bit-faithful OpenSimplex "
+        "planes with the native C++ kernel on the host (the reference's "
+        "scoring-time noise, reconstruct.py:130-142); 'device' uses the "
+        "on-device statistical stand-in (faster, not bit-identical).",
     )
     parser.add_argument(
         "--recon_groups", type=int, default=8,

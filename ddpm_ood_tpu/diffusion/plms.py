@@ -173,6 +173,114 @@ def plms_step(
     )
 
 
+def _build_ref_exact_step_table(
+    timesteps_desc: np.ndarray, t_starts: np.ndarray, step_ratio: int
+) -> dict:
+    """Host-side step table for the carried-history sweep as ONE scan.
+
+    The reference's scheduler state (ets history length, global step counter)
+    evolves deterministically over the concatenated lane segments, so every
+    per-step decision — AB order coefficients, whether the epsilon is appended,
+    the Heun re-do's saved-sample reuse, the (t_used, t_prev) transfer pair —
+    is known at trace time and becomes a scan input array instead of Python
+    control flow.
+
+    Coefficients index the post-push ring buffer `pushed = [ets[1:], eps]`
+    oldest-to-newest, so `out = coeffs . pushed` covers every branch:
+    Euler (0,0,0,1); Heun re-do (0,0,1/2,1/2) since the previous epsilon sits
+    at pushed[2]; AB2 (0,0,-1/2,3/2); AB3 (0,5,-16,23)/12; AB4 (-9,37,-59,55)/24.
+    """
+    ts_desc = np.asarray(timesteps_desc)
+    cols = {k: [] for k in (
+        "lane", "t", "t_used", "t_prev", "coeffs",
+        "append", "use_cur", "save_cur", "first", "last",
+    )}
+    counter = 0
+    n_ets = 0
+    ab = {
+        2: (0.0, 0.0, -1.0 / 2.0, 3.0 / 2.0),
+        3: (0.0, 5.0 / 12.0, -16.0 / 12.0, 23.0 / 12.0),
+        4: (-9.0 / 24.0, 37.0 / 24.0, -59.0 / 24.0, 55.0 / 24.0),
+    }
+    for k, t_start in enumerate(np.asarray(t_starts)):
+        seg = [int(t) for t in ts_desc[ts_desc <= t_start]]
+        for j, t in enumerate(seg):
+            cols["lane"].append(k)
+            cols["t"].append(t)
+            cols["first"].append(j == 0)
+            cols["last"].append(j == len(seg) - 1)
+            if counter == 0:
+                n_ets = 1
+                row = ((0.0, 0.0, 0.0, 1.0), True, False, True, t, t - step_ratio)
+            elif counter == 1:
+                row = ((0.0, 0.0, 0.5, 0.5), False, True, False, t + step_ratio, t)
+            else:
+                n_ets = min(n_ets + 1, 4)
+                row = (ab[n_ets], True, False, False, t, t - step_ratio)
+            coeffs, append, use_cur, save_cur, t_used, t_prev = row
+            cols["coeffs"].append(coeffs)
+            cols["append"].append(append)
+            cols["use_cur"].append(use_cur)
+            cols["save_cur"].append(save_cur)
+            cols["t_used"].append(t_used)
+            cols["t_prev"].append(t_prev)
+            counter += 1
+    return {
+        "lane": np.asarray(cols["lane"], np.int32),
+        "t": np.asarray(cols["t"], np.int32),
+        "t_used": np.asarray(cols["t_used"], np.int32),
+        "t_prev": np.asarray(cols["t_prev"], np.int32),
+        "coeffs": np.asarray(cols["coeffs"], np.float32),
+        "append": np.asarray(cols["append"]),
+        "use_cur": np.asarray(cols["use_cur"]),
+        "save_cur": np.asarray(cols["save_cur"]),
+        "first": np.asarray(cols["first"]),
+        "last": np.asarray(cols["last"]),
+    }
+
+
+def _ref_exact_scan(mf, sched, x_starts, steps):
+    """The carried-history sweep body: one scan over the concatenated lane
+    segments. x_starts: (K, B, *sample); steps: the step-table pytree."""
+    K = x_starts.shape[0]
+    B = x_starts.shape[1]
+    sample_shape = x_starts.shape[1:]
+
+    def body(carry, s):
+        x, ets, cur, recons = carry
+        x = jnp.where(s["first"], x_starts[s["lane"]], x)
+        t_batch = jnp.full((B,), s["t"], dtype=jnp.int32)
+        eps = epsilon_from_model_output(sched, mf(x, t_batch), x, s["t"])
+        pushed = jnp.concatenate([ets[1:], eps[None]], axis=0)
+        out = jnp.tensordot(s["coeffs"].astype(x.dtype), pushed, axes=1)
+        sample = jnp.where(s["use_cur"], cur, x)
+        new_x = _transfer(sched, sample, s["t_used"], s["t_prev"], out)
+        ets = jnp.where(s["append"], pushed, ets)
+        cur = jnp.where(s["save_cur"], x, cur)
+        prev_slot = jax.lax.dynamic_index_in_dim(
+            recons, s["lane"], 0, keepdims=False
+        )
+        recons = jax.lax.dynamic_update_index_in_dim(
+            recons, jnp.where(s["last"], new_x, prev_slot), s["lane"], 0
+        )
+        return (new_x, ets, cur, recons), None
+
+    init = (
+        jnp.zeros(sample_shape, x_starts.dtype),
+        jnp.zeros((4,) + sample_shape, x_starts.dtype),
+        jnp.zeros(sample_shape, x_starts.dtype),
+        jnp.zeros((K,) + sample_shape, x_starts.dtype),
+    )
+    (_, _, _, recons), _ = jax.lax.scan(body, init, steps)
+    return recons
+
+
+# jitted once at module scope: model weights (Partial), schedule tables, start
+# samples, and the step table all arrive as traced args, so every batch — and
+# every ReconProgram — of the same shapes reuses one compiled program
+_ref_exact_scan_jit = jax.jit(_ref_exact_scan)
+
+
 def plms_reference_exact_sweep(
     sched: NoiseSchedule,
     model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
@@ -194,13 +302,45 @@ def plms_reference_exact_sweep(
     PNDM `step_plms` (len(ets)-based, with the counter==1 Heun re-do) and the
     history/counter persist across lanes.
 
-    The chained state makes this inherently sequential, so it is the
-    parity/quantification path (scripts/quality_check.py --sampler plms_ref),
-    not the performance path; the history evolution is static at trace time, so
-    only the UNet call and the eq.-11 transfer are device programs.
+    The chained state is inherently sequential ACROSS steps, but the history
+    evolution is static at trace time, so the whole sweep compiles to one
+    `lax.scan` over a precomputed step table (_build_ref_exact_step_table) —
+    the parity path runs at device-program speed instead of one dispatch per
+    step (the round-2 eager form, kept as plms_reference_exact_sweep_eager for
+    golden testing, was ~100x slower through a tunneled chip).
 
     x0: (B, *spatial, C); noise: (K, B, *spatial, C); t_starts ascending.
     Returns (K, B, *spatial, C) reconstructions (latent-space, still b_scaled).
+    """
+    from .schedules import add_noise as _add_noise
+
+    step_ratio = sched.num_train_timesteps // num_inference_steps
+    steps = _build_ref_exact_step_table(timesteps_desc, t_starts, step_ratio)
+    mf = (
+        model_fn
+        if isinstance(model_fn, jax.tree_util.Partial)
+        else jax.tree_util.Partial(model_fn)
+    )
+    x_starts = jax.vmap(
+        lambda n, t: _add_noise(sched, x0 * b_scale, n, t)
+    )(jnp.asarray(noise), jnp.asarray(np.asarray(t_starts, np.int32)))
+    return _ref_exact_scan_jit(mf, sched, x_starts, steps)
+
+
+def plms_reference_exact_sweep_eager(
+    sched: NoiseSchedule,
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    noise: jnp.ndarray,
+    timesteps_desc: np.ndarray,
+    t_starts: np.ndarray,
+    num_inference_steps: int,
+    b_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Direct Python transcription of the carried-history semantics (the
+    round-2 implementation): one jitted UNet call per step with host control
+    flow. Kept as the independent cross-check for the scan form — the golden
+    tests assert scan == eager == stateful-NumPy-PNDM.
     """
     from .schedules import add_noise as _add_noise
 

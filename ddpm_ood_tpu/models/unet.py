@@ -292,8 +292,13 @@ def make_unet(
     in_channels: int,
     out_channels: int,
     dtype: Dtype = jnp.float32,
+    remat: bool = False,
 ) -> DiffusionModelUNet:
-    """"small"/"big" presets matching the reference (base.py:65-88)."""
+    """"small"/"big" presets matching the reference (base.py:65-88).
+
+    `remat=True` rematerializes res/attention blocks in the backward pass —
+    reachable from the CLIs via `--remat` (the knob for the big-3D activation
+    regime, e.g. pixel-space [160,160,128] volumes)."""
     if model_type == "small":
         return DiffusionModelUNet(
             spatial_dims=spatial_dims,
@@ -304,6 +309,7 @@ def make_unet(
             num_res_blocks=1,
             num_head_channels=256,
             dtype=dtype,
+            remat=remat,
         )
     if model_type == "tiny":
         # framework extension (not in the reference): a small-geometry preset for
@@ -318,6 +324,7 @@ def make_unet(
             num_head_channels=64,
             norm_num_groups=8,
             dtype=dtype,
+            remat=remat,
         )
     if model_type == "big":
         return DiffusionModelUNet(
@@ -329,6 +336,7 @@ def make_unet(
             num_res_blocks=2,
             num_head_channels=256,
             dtype=dtype,
+            remat=remat,
         )
     raise ValueError(f"Do not recognise model type {model_type}")
 

@@ -96,10 +96,16 @@ class Encoder(nn.Module):
     downsample_parameters: Sequence[Tuple[int, int, int, int]]
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         spatial = x.ndim - 2
+        Res = (
+            nn.remat(VQVAEResidualUnit, static_argnums=(2,))
+            if self.remat
+            else VQVAEResidualUnit
+        )
         for i, ch in enumerate(self.num_channels):
             stride, kernel, dilation, pad = self.downsample_parameters[i]
             # honor the config's explicit torch-style padding (reference
@@ -117,7 +123,7 @@ class Encoder(nn.Module):
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = nn.relu(x)
             for _ in range(self.num_res_layers):
-                x = VQVAEResidualUnit(
+                x = Res(
                     ch, self.num_res_channels[i], self.dropout, self.dtype
                 )(x, train)
         return nn.Conv(self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype)(x)
@@ -131,10 +137,16 @@ class Decoder(nn.Module):
     upsample_parameters: Sequence[Tuple[int, int, int, int, int]]
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         spatial = z.ndim - 2
+        Res = (
+            nn.remat(VQVAEResidualUnit, static_argnums=(2,))
+            if self.remat
+            else VQVAEResidualUnit
+        )
         rev_ch = list(reversed(self.num_channels))
         rev_res_ch = list(reversed(self.num_res_channels))
         rev_up = list(reversed(self.upsample_parameters))
@@ -145,7 +157,7 @@ class Decoder(nn.Module):
         n = len(rev_ch)
         for i in range(n):
             for _ in range(self.num_res_layers):
-                x = VQVAEResidualUnit(rev_ch[i], rev_res_ch[i], self.dropout, self.dtype)(x, train)
+                x = Res(rev_ch[i], rev_res_ch[i], self.dropout, self.dtype)(x, train)
             stride, kernel, dilation, pad, out_pad = rev_up[i]
             is_last = i == n - 1
             x = ConvTransposeTorchLike(
@@ -256,6 +268,9 @@ class VQVAE(nn.Module):
     dropout: float = 0.0
     ddp_sync: bool = True  # accepted for config parity; sync is inherent under GSPMD
     dtype: Dtype = jnp.float32
+    # rematerialize residual units in the backward pass (CLI --remat); NOT part
+    # of vqvae_config.json — it changes memory/compute, never numerics or params
+    remat: bool = False
 
     def setup(self):
         self.encoder = Encoder(
@@ -266,6 +281,7 @@ class VQVAE(nn.Module):
             self.downsample_parameters,
             self.dropout,
             self.dtype,
+            self.remat,
         )
         self.decoder = Decoder(
             self.out_channels,
@@ -275,6 +291,7 @@ class VQVAE(nn.Module):
             self.upsample_parameters,
             self.dropout,
             self.dtype,
+            self.remat,
         )
         self.quantizer = EMAQuantizer(
             self.num_embeddings,

@@ -172,6 +172,20 @@ class ReconProgram:
     perceptual_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None
     pad_images_for_lpips: bool = True  # the 28->32 rule
     simplex_noise_fn: Optional[Callable] = None  # (rng, shape, t_starts) -> noise
+    # host-generated noise (the bit-exact C++ OpenSimplex path, reference
+    # reconstruct.py:130-142): `host_noise_fn((K, B) + latent_sample_shape,
+    # t_starts) -> np.ndarray` is called once per batch and the array becomes a
+    # PROGRAM INPUT (sliced per lane group); takes precedence over
+    # simplex_noise_fn. latent_sample_shape = (spatial..., C) of the tensor the
+    # UNet consumes (post-encode, post-latent-pad) — needed host-side because
+    # the encode happens inside the trace.
+    host_noise_fn: Optional[Callable] = None
+    latent_sample_shape: Optional[Tuple[int, ...]] = None
+    # multi-process runs: constrain the scalar metric outputs (K, B) + preview
+    # to be fully REPLICATED over this mesh, so every process can read them
+    # with np.asarray and slice out its own columns — without this, outputs
+    # span non-addressable devices and host fetch raises. Single-process: None.
+    out_mesh: Optional[object] = None
 
     def __post_init__(self):
         if self.sampler == "ddim":
@@ -201,9 +215,11 @@ class ReconProgram:
         K = len(t_starts)
 
         def program(model_fn, encode_fn, decode_fn,
-                    images_original: jnp.ndarray, rng: jax.Array):
+                    images_original: jnp.ndarray, rng_or_noise):
             # images_original: (B, *spatial, C) in [0, 1]; model/encode/decode
-            # arrive as Partial pytrees (weights traced, not baked in)
+            # arrive as Partial pytrees (weights traced, not baked in).
+            # rng_or_noise: a PRNG key, or (host-noise mode) the (K, B, *latent)
+            # noise array itself.
             x = images_original
             if encode_fn is not None:
                 x = encode_fn(x)
@@ -211,10 +227,17 @@ class ReconProgram:
                 x = pad_torch_style(x, self.latent_pad)
 
             noise_shape = (K,) + x.shape
-            if self.simplex_noise_fn is not None:
-                noise = self.simplex_noise_fn(rng, noise_shape, t_starts_j)
+            if self.host_noise_fn is not None:
+                if rng_or_noise.shape != noise_shape:
+                    raise ValueError(
+                        f"host noise shape {rng_or_noise.shape} != expected "
+                        f"{noise_shape} — latent_sample_shape is stale"
+                    )
+                noise = rng_or_noise.astype(x.dtype)
+            elif self.simplex_noise_fn is not None:
+                noise = self.simplex_noise_fn(rng_or_noise, noise_shape, t_starts_j)
             else:
-                noise = jax.random.normal(rng, noise_shape, dtype=x.dtype)
+                noise = jax.random.normal(rng_or_noise, noise_shape, dtype=x.dtype)
 
             sweep = plms_sweep if self.sampler == "plms" else ddim_sweep
             recon = sweep(
@@ -275,6 +298,13 @@ class ReconProgram:
         # small preview payload: the highest-t_start lane's recon for up to
         # 8 images (reference renders per-batch previews, reconstruct.py:206-231)
         preview = recon[-1, : min(8, recon.shape[1])]
+        if self.out_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.out_mesh, PartitionSpec())
+            mse = jax.lax.with_sharding_constraint(mse, rep)
+            perc = jax.lax.with_sharding_constraint(perc, rep)
+            preview = jax.lax.with_sharding_constraint(preview, rep)
         return mse, perc, preview
 
     def _call_reference_exact(self, images: jnp.ndarray, rng: jax.Array):
@@ -289,7 +319,11 @@ class ReconProgram:
             x = pad_torch_style(x, self.latent_pad)
         K = len(self.t_starts)
         noise_shape = (K,) + x.shape
-        if self.simplex_noise_fn is not None:
+        if self.host_noise_fn is not None:
+            noise = jnp.asarray(
+                self.host_noise_fn(noise_shape, self.t_starts), dtype=x.dtype
+            )
+        elif self.simplex_noise_fn is not None:
             noise = self.simplex_noise_fn(rng, noise_shape, jnp.asarray(self.t_starts))
         else:
             noise = jax.random.normal(rng, noise_shape, dtype=x.dtype)
@@ -316,14 +350,33 @@ class ReconProgram:
         the last group's preview recon is stashed on `self.last_preview`."""
         if self.sampler == "plms_ref":
             return self._call_reference_exact(images, rng)
+        noise_full = None
+        if self.host_noise_fn is not None:
+            if self.latent_sample_shape is None:
+                raise ValueError("host_noise_fn requires latent_sample_shape")
+            noise_full = np.asarray(
+                self.host_noise_fn(
+                    (len(self.t_starts), images.shape[0])
+                    + tuple(self.latent_sample_shape),
+                    self.t_starts,
+                ),
+                dtype=np.float32,
+            )
         mses, percs, starts = [], [], []
+        offset = 0
         for gi, (ts_desc, t_starts) in enumerate(self._groups):
             key = (ts_desc.shape[0], t_starts.shape[0], images.shape)
             if key not in self._compiled:
                 self._compiled[key] = self._build(ts_desc, t_starts)
-            rng, sub = jax.random.split(rng)
+            if noise_full is not None:
+                # groups are contiguous chunks of the ascending t_starts, so
+                # slicing by running offset hands each lane its own plane set
+                arg = noise_full[offset : offset + len(t_starts)]
+            else:
+                rng, arg = jax.random.split(rng)
+            offset += len(t_starts)
             mse, perc, preview = self._compiled[key](
-                self.model_fn, self.encode_fn, self.decode_fn, images, sub
+                self.model_fn, self.encode_fn, self.decode_fn, images, arg
             )
             mses.append(mse)
             percs.append(perc)

@@ -45,6 +45,7 @@ def build_recon_program(
     args,
     perceptual_fn=None,
     simplex_noise_fn=None,
+    host_noise_fn=None,
     skip_factor: Optional[int] = None,
 ) -> ReconProgram:
     """Assemble the scoring program from a BaseTrainer-derived object (which
@@ -66,6 +67,9 @@ def build_recon_program(
         decode_fn=trainer.decode_fn,
         perceptual_fn=perceptual_fn,
         simplex_noise_fn=simplex_noise_fn,
+        host_noise_fn=host_noise_fn,
+        latent_sample_shape=tuple(trainer._latent_sample_shape()),
+        out_mesh=trainer.mesh if jax.process_count() > 1 else None,
     )
 
 
@@ -91,6 +95,16 @@ class ScoringService:
         self._rng = jax.random.PRNGKey(0)
         # per-t stats tables aligned to the program's start points
         self._stats: Dict[str, Dict[int, tuple]] = {}
+        counts = val_stats.groupby("t")["mse"].count()
+        thin = [int(t) for t, n in counts.items() if n < 2]
+        if thin:
+            # a single validation row makes the sample std (ddof=1) NaN, which
+            # would turn EVERY response into NaN z-scores with HTTP 200
+            raise ValueError(
+                f"results_val.csv has fewer than 2 rows for t_start(s) {thin} "
+                "— per-t z-score std is undefined; reconstruct a larger "
+                "validation set"
+            )
         for target in ("mse", "perceptual_difference"):
             agg = val_stats.groupby("t")[target].agg(["mean", "std"])
             self._stats[target] = {
@@ -106,6 +120,10 @@ class ScoringService:
                 "the service must use the same num_inference_steps / "
                 "inference_skip_factor as the validation reconstruction run"
             )
+        # request-size ceiling: the compiled batch of f64 images at a generous
+        # 64 MiB/image, plus npy header slack — anything larger cannot be a
+        # legitimate request and must not be buffered into host memory
+        self.max_body_bytes = self.batch_size * 64 * 1024 * 1024 + 1024 * 1024
 
     @classmethod
     def from_val_csv(cls, program, val_csv: str | Path, batch_size: int,
@@ -181,6 +199,13 @@ def make_handler(service: ScoringService):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > service.max_body_bytes:
+                    self._json(413, {
+                        "error": f"request body {n} bytes exceeds cap "
+                        f"{service.max_body_bytes} (batch_size "
+                        f"{service.batch_size})"
+                    })
+                    return
                 arr = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
                 self._json(200, {"scores": service.score(arr)})
             except ValueError as e:

@@ -88,6 +88,7 @@ class BaseTrainer:
                         for v in cfg[key]
                     ) if isinstance(cfg[key], (list, tuple)) else cfg[key]
             self.vqvae_model = VQVAE(**cfg, dtype=self.dtype)
+            ckpt.check_numerics_version(vq_path.parent)
             payload = ckpt.restore_checkpoint(vq_path)
             self.vqvae_vars = {
                 "params": payload["model_state_dict"]["params"],
@@ -110,6 +111,7 @@ class BaseTrainer:
             ddpm_channels,
             ddpm_channels,
             dtype=self.dtype,
+            remat=bool(getattr(args, "remat", 0)),
         )
 
         # -- schedule --------------------------------------------------------------
@@ -151,6 +153,10 @@ class BaseTrainer:
             self.run_dir, int(resume_epoch) if resume_epoch else None
         )
         if path is not None:
+            # refuse checkpoints trained under different conv-window numerics
+            # (utils/checkpoint.py NUMERICS_VERSION) instead of silently
+            # producing shifted reconstructions
+            ckpt.check_numerics_version(self.run_dir)
             template = {
                 "epoch": 0,
                 "global_step": 0,
@@ -158,6 +164,9 @@ class BaseTrainer:
                 "model_state_dict": ckpt.to_host(self.state.params),
                 "optimizer_state_dict": ckpt.to_host(self.state.opt_state),
             }
+            if jax.process_count() > 1:
+                # multi-process restore needs concrete (replicated) shardings
+                template = ckpt.replicated_restore_template(self.mesh, template)
             payload = ckpt.restore_checkpoint(path, template)
             self.found_checkpoint = True
             self.start_epoch = int(payload["epoch"])

@@ -65,6 +65,10 @@ class DDPMTrainer(BaseTrainer):
             self.simplex = Simplex()
         self.rng = jax.random.PRNGKey(1234 + jax.process_index())
         self.profile_dir = getattr(args, "profile_dir", None)
+        # validation sampler jitted ONCE: sched/model_fn ride through as traced
+        # pytree args, so every val_epoch reuses the same compiled program (a
+        # fresh lambda per call would re-trace the 1000-step sampler each eval)
+        self._sample_jit = jax.jit(ddpm_sample)
 
     # ------------------------------------------------------------------ train --
     def train(self, args):
@@ -194,10 +198,7 @@ class DDPMTrainer(BaseTrainer):
         self.rng, key, nkey = jax.random.split(self.rng, 3)
         noise = jax.random.normal(nkey, sample_shape, dtype=jnp.float32)
         # model_fn is a Partial: params ride through jit as traced args
-        sample = jax.jit(
-            lambda mf, n, k: ddpm_sample(self.sched, mf, n, k)
-        )
-        latents = sample(self.model_fn, noise, key)
+        latents = self._sample_jit(self.sched, self.model_fn, noise, key)
         if self.do_latent_pad:
             from ..utils.padding import unpad_torch_style
 

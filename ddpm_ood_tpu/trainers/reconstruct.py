@@ -85,6 +85,10 @@ class Reconstruct(BaseTrainer):
         self.in_loader = make_loader(args.in_ids, args.first_n)
         self._perceptual: Optional[PerceptualLoss] = None
         self._programs = {}
+        if self.simplex_noise:
+            from ..noise.simplex import Simplex
+
+            self.simplex = Simplex()
 
     # ---------------------------------------------------------------- scoring --
     def _perceptual_fn(self):
@@ -102,14 +106,44 @@ class Reconstruct(BaseTrainer):
             # scoring and the long-lived service cannot diverge
             from ..serve import build_recon_program
 
+            host_fn = dev_fn = None
+            if self.simplex_noise:
+                mode = getattr(self.args, "simplex_noise_mode", "exact")
+                from ..noise import _native
+
+                if mode == "exact" and _native.available():
+                    host_fn = self._host_simplex_noise
+                else:
+                    if mode == "exact":
+                        info(
+                            "native OpenSimplex kernel unavailable (no g++?) — "
+                            "falling back to on-device statistical simplex noise"
+                        )
+                    dev_fn = self._sweep_simplex
             self._programs[skip_factor] = build_recon_program(
                 self,
                 self.args,
                 perceptual_fn=self._perceptual_fn(),
-                simplex_noise_fn=self._sweep_simplex if self.simplex_noise else None,
+                simplex_noise_fn=dev_fn,
+                host_noise_fn=host_fn,
                 skip_factor=skip_factor,
             )
         return self._programs[skip_factor]
+
+    def _host_simplex_noise(self, shape, t_starts) -> np.ndarray:
+        """Bit-exact scoring-time noise: one freshly-seeded fixed-T C++
+        OpenSimplex plane per (lane, item, channel), exactly the reference's
+        draw order (reconstruct.py:130-142 -> simplex_noise.py:15-79: t_start
+        lanes outermost, then channel, then batch item)."""
+        from ..noise.simplex import generate_simplex_noise
+
+        K, B = int(shape[0]), int(shape[1])
+        out = np.empty(shape, dtype=np.float32)
+        for k, t in enumerate(np.asarray(t_starts)):
+            out[k] = generate_simplex_noise(
+                self.simplex, shape[1:], np.full((B,), int(t), dtype=np.int64)
+            )
+        return out
 
     def _sweep_simplex(self, rng, shape, t_starts):
         """(K, B, *spatial, C) structured noise, one fixed-T plane set per lane."""
@@ -129,13 +163,35 @@ class Reconstruct(BaseTrainer):
         rng = jax.random.PRNGKey(777 + jax.process_index())
         results: List[dict] = []
         preview_saved = False
+        compiled_b: Optional[int] = None
         for batch in loader:
             t1 = time.time()
             images = channels_last(batch["image"])
+            b = images.shape[0]
+            # wrap-pad ragged (final) batches up to the first batch's compiled
+            # size and slice the metrics back — a size-b tail would otherwise
+            # recompile every group program for one batch (same pattern as the
+            # serving path, serve.py ScoringService.score); duplicated rows are
+            # never emitted because only [:b] is read back
+            if compiled_b is None:
+                compiled_b = b
+            if b < compiled_b:
+                images = np.take(images, np.arange(compiled_b) % b, axis=0)
             rng, sub = jax.random.split(rng)
             t_starts, mse, perc = program(self.shard(images), sub)
-            mse = np.asarray(mse)  # (K, B)
+            mse = np.asarray(mse)  # (K, B_global) — replicated under multihost
             perc = np.asarray(perc)
+            if jax.process_count() > 1:
+                # the global batch concatenates per-process shards in process
+                # order (parallel/mesh.py shard_batch); pick out OUR columns,
+                # whose filenames this process's loader shard holds
+                per_proc = mse.shape[1] // jax.process_count()
+                off = jax.process_index() * per_proc
+                mse = mse[:, off : off + b]
+                perc = perc[:, off : off + b]
+            else:
+                mse = mse[:, :b]
+                perc = perc[:, :b]
             for k, t_start in enumerate(t_starts):
                 for b, filename in enumerate(batch["filename"]):
                     results.append(

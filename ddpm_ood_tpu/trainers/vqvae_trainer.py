@@ -87,7 +87,11 @@ class VQVAETrainer:
             dropout=float(args.vqvae_dropout),
             ddp_sync=bool(args.vqvae_ddp_sync),
         )
-        self.model = VQVAE(**self.vqvae_config, dtype=self.dtype)
+        self.model = VQVAE(
+            **self.vqvae_config,
+            dtype=self.dtype,
+            remat=bool(getattr(args, "remat", 0)),
+        )
         self.discriminator = PatchDiscriminator(
             spatial_dims=self.spatial_dimension,
             num_layers_d=3,
@@ -150,6 +154,7 @@ class VQVAETrainer:
         ckpt.save_config_json(self.run_dir, "vqvae_config.json", self.vqvae_config)
         path = ckpt.find_checkpoint(self.run_dir)
         if path is not None:
+            ckpt.check_numerics_version(self.run_dir)
             template = {
                 "epoch": 0,
                 "global_step": 0,
@@ -165,6 +170,8 @@ class VQVAETrainer:
                 "optimizer_g_state_dict": ckpt.to_host(self.g_state.opt_state),
                 "optimizer_d_state_dict": ckpt.to_host(self.d_state.opt_state),
             }
+            if jax.process_count() > 1:
+                template = ckpt.replicated_restore_template(self.mesh, template)
             payload = ckpt.restore_checkpoint(path, template)
             self.start_epoch = int(payload["epoch"])
             self.global_step = int(payload["global_step"])

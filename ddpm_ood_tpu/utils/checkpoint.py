@@ -26,6 +26,55 @@ import orbax.checkpoint as ocp
 
 _CKPT_RE = re.compile(r"^checkpoint_(\d+)$")
 
+# Numerics epoch of the compute graph. History:
+#   1: rounds <= 1 — UNet Downsample used XLA "SAME" padding (pads (0, 1) at
+#      stride 2).
+#   2: round 2+ — torch-window-exact explicit (1, 1) Downsample padding
+#      (models/unet.py Downsample). Same param tree, DIFFERENT conv windows:
+#      a v1 checkpoint loads without error under v2 but produces shifted
+#      reconstructions, silently invalidating results_val.csv statistics.
+# save_checkpoint stamps the run dir; resume raises on a mismatched stamp
+# (set DDPM_OOD_TPU_ALLOW_NUMERICS_MISMATCH=1 to override) and warns loudly
+# when no stamp exists (a run from before stamping was introduced).
+NUMERICS_VERSION = 2
+_NUMERICS_FILE = "numerics_version.json"
+
+
+def write_numerics_version(run_dir: str | Path) -> None:
+    save_config_json(run_dir, _NUMERICS_FILE, {"numerics_version": NUMERICS_VERSION})
+
+
+def check_numerics_version(run_dir: str | Path) -> None:
+    """Guard a resume/eval against checkpoints trained under different conv
+    windows (see NUMERICS_VERSION). Mismatched stamp -> error; missing stamp ->
+    loud warning (age unknown)."""
+    import os
+    import warnings
+
+    stamp = Path(run_dir) / _NUMERICS_FILE
+    if not stamp.exists():
+        warnings.warn(
+            f"{run_dir} has no {_NUMERICS_FILE}: this run predates numerics "
+            f"stamping. If it was trained before the torch-window-exact "
+            f"Downsample padding change (numerics v2), its checkpoints will "
+            f"produce DIFFERENT reconstructions under the current code — "
+            f"re-run the validation reconstruction pass (results_val.csv) "
+            f"before trusting Z-scores.",
+            stacklevel=2,
+        )
+        return
+    found = int(load_config_json(stamp).get("numerics_version", 1))
+    if found != NUMERICS_VERSION and not os.environ.get(
+        "DDPM_OOD_TPU_ALLOW_NUMERICS_MISMATCH"
+    ):
+        raise RuntimeError(
+            f"checkpoint run {run_dir} was written at numerics_version={found} "
+            f"but this build is numerics_version={NUMERICS_VERSION}; its "
+            f"weights would load silently yet reconstruct differently. Retrain "
+            f"or re-validate, or set DDPM_OOD_TPU_ALLOW_NUMERICS_MISMATCH=1 "
+            f"to proceed anyway."
+        )
+
 _async_ckptr: Optional[ocp.AsyncCheckpointer] = None
 
 
@@ -48,6 +97,8 @@ def save_checkpoint(run_dir: str | Path, name: str, payload: Dict[str, Any]) -> 
     Waits for the previous in-flight save first; `wait_for_checkpoints()` flushes
     at shutdown. Orbax handles multi-host coordination and atomic overwrite."""
     path = (Path(run_dir) / name).absolute()
+    if jax.process_index() == 0:
+        write_numerics_version(run_dir)
     ckptr = _async_checkpointer()
     ckptr.wait_until_finished()
     ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
@@ -98,6 +149,27 @@ def find_checkpoint(
 def to_host(tree):
     """Device arrays -> numpy for serialization-stable payloads."""
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def replicated_restore_template(mesh, tree):
+    """Restore template for MULTI-PROCESS runs: array leaves become abstract
+    jax.ShapeDtypeStruct with a fully-replicated NamedSharding over `mesh`.
+
+    Orbax requires concrete shardings to deserialize arrays saved from a
+    multi-process run (a plain numpy template restores fine single-process but
+    fails multihost with "sharding ... Got None"); python scalars pass through
+    untouched so the reference's {epoch, global_step, best_loss} schema keys
+    restore as saved."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec())
+
+    def leaf(x):
+        if isinstance(x, (np.ndarray, jax.Array)):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)
 
 
 def save_config_json(run_dir: str | Path, name: str, config: Dict[str, Any]) -> Path:

@@ -353,7 +353,17 @@ def jax_tree_to_dict(tree):
 
 def flax_to_torch_unet(params) -> Dict[str, np.ndarray]:
     """Export Flax UNet params to a monai-generative-style flat state_dict
-    (canonical key variants) — the reverse migration path."""
+    (canonical key variants) — the reverse migration path.
+
+    CAVEAT: each module emits the FIRST key-name candidate of the same
+    alternatives the import direction accepts (e.g. ``conv1.conv.weight``,
+    ``middle_block.resnet_1``). These follow monai-generative 0.2.x naming;
+    monai-generative is not installable in this environment, so they have not
+    been checked against a live ``DiffusionModelUNet().state_dict()``. If a
+    different release renames modules, load the exported ``.pth`` with
+    ``strict=False`` and map stragglers using the import side's per-key
+    mismatch report (torch_to_flax_unet's unmatched-keys output) as the
+    ground truth for this framework's expectations."""
     out: Dict[str, np.ndarray] = {}
     for mod_name, leaves in params.items():
         prefixes, submods = _module_spec(mod_name)

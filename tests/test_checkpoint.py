@@ -47,3 +47,34 @@ def test_config_json_roundtrip(tmp_path):
     ckpt.save_config_json(tmp_path, "vqvae_config.json", cfg)
     out = ckpt.load_config_json(tmp_path / "vqvae_config.json")
     assert out["embedding_dim"] == 64
+
+
+def test_numerics_version_stamp_and_guard(tmp_path, monkeypatch):
+    """save_checkpoint stamps the run dir; resume-time check raises on a
+    mismatched stamp (override env), warns when no stamp exists (pre-stamp
+    runs whose conv-window numerics are unknown) — ADVICE r2: old checkpoints
+    must fail loudly instead of silently reconstructing differently."""
+    import warnings
+
+    import pytest as _pytest
+
+    from ddpm_ood_tpu.utils import checkpoint as ckpt
+
+    run = tmp_path / "run"
+    run.mkdir()
+    # no stamp -> loud warning, no error
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ckpt.check_numerics_version(run)
+    assert any("numerics" in str(x.message) for x in w)
+
+    ckpt.save_checkpoint(run, "checkpoint", {"epoch": 1, "x": np.zeros(2)})
+    ckpt.wait_for_checkpoints()
+    assert (run / "numerics_version.json").exists()
+    ckpt.check_numerics_version(run)  # matching stamp passes silently
+
+    ckpt.save_config_json(run, "numerics_version.json", {"numerics_version": 1})
+    with _pytest.raises(RuntimeError, match="numerics_version=1"):
+        ckpt.check_numerics_version(run)
+    monkeypatch.setenv("DDPM_OOD_TPU_ALLOW_NUMERICS_MISMATCH", "1")
+    ckpt.check_numerics_version(run)  # override honored

@@ -239,3 +239,31 @@ def test_plms_denoises_toward_x0():
         t_start=jnp.asarray(t_start), num_inference_steps=100,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-2)
+
+
+def test_reference_exact_scan_matches_eager():
+    """The single-scan plms_ref program must be bit-equivalent (to f32 scan
+    tolerance) to the eager Python transcription it replaced, including
+    b_scale and cross-lane history leakage."""
+    from ddpm_ood_tpu.diffusion.plms import (
+        plms_reference_exact_sweep,
+        plms_reference_exact_sweep_eager,
+    )
+
+    sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+    timesteps = pndm_timesteps(1000, 10)
+    t_starts = pndm_start_points(timesteps, 2)
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(rng.normal(size=(2, 4, 4, 1)).astype(np.float32))
+    noise = jnp.asarray(
+        rng.normal(size=(len(t_starts),) + x0.shape).astype(np.float32)
+    )
+    scan_out = plms_reference_exact_sweep(
+        sched, _fake_model, x0, noise, timesteps, t_starts, 10, b_scale=1.5
+    )
+    eager_out = plms_reference_exact_sweep_eager(
+        sched, _fake_model, x0, noise, timesteps, t_starts, 10, b_scale=1.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(scan_out), np.asarray(eager_out), rtol=1e-5, atol=1e-6
+    )
