@@ -71,10 +71,19 @@ def _fetch(url: str, dest: Path) -> bool:
 def _read_idx_images(path: Path) -> np.ndarray:
     opener = gzip.open if path.suffix == ".gz" else open
     with opener(path, "rb") as f:
-        magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
-        assert magic == 2051, f"bad IDX magic {magic} in {path}"
-        data = np.frombuffer(f.read(n * rows * cols), dtype=np.uint8)
-    return data.reshape(n, rows, cols)
+        header = f.read(16)
+        if len(header) != 16:
+            raise ValueError(f"truncated IDX header in {path}")
+        magic, n, rows, cols = struct.unpack(">IIII", header)
+        if magic != 2051:
+            raise ValueError(f"bad IDX magic {magic} in {path}")
+        data = f.read(n * rows * cols)
+        if len(data) != n * rows * cols:
+            raise ValueError(
+                f"truncated IDX file {path}: header promises {n}x{rows}x{cols}"
+                f" = {n * rows * cols} bytes, got {len(data)}"
+            )
+    return np.frombuffer(data, dtype=np.uint8).reshape(n, rows, cols)
 
 
 def _save_set(images: np.ndarray, out_dir: Path, dataset_name: str) -> None:

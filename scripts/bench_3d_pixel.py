@@ -95,34 +95,36 @@ def bench_vqvae(args, remat: bool) -> dict:
     steps = VQVAETrainSteps(
         spatial_dims=3, perceptual_weight=0.001, perceptual_fn=perceptual
     )
-    g_step = jax.jit(steps.make_generator_step(), donate_argnums=(0,))
-    d_step = jax.jit(steps.make_discriminator_step(), donate_argnums=(1,))
+    # the EXACT jitted programs the trainer drives (train/vqvae.py — already
+    # jitted with state donation): G(g_state, d_state, images, adv_w) and
+    # D(d_state, recon, images, adv_w)
+    g_step = steps.make_generator_step()
+    d_step = steps.make_discriminator_step()
 
     images = jax.random.uniform(
         jax.random.PRNGKey(1), (batch,) + sample, dtype=jnp.float32
     )
     adv_w = jnp.float32(0.01)
 
-    lowered_g = g_step.lower(g_state, d_state, images, adv_w).compile()
-    g_flops = _flops(lowered_g)
-    g_state, metrics = lowered_g(g_state, d_state, images, adv_w)
+    g_flops = _flops(g_step.lower(g_state, d_state, images, adv_w).compile())
+    g_state, metrics = g_step(g_state, d_state, images, adv_w)
     jax.block_until_ready(metrics["generator_loss"])
     n = 2 if args.quick else 6
     t0 = time.perf_counter()
     for _ in range(n):
-        g_state, metrics = lowered_g(g_state, d_state, images, adv_w)
+        g_state, metrics = g_step(g_state, d_state, images, adv_w)
     jax.block_until_ready(metrics["generator_loss"])
     g_dt = (time.perf_counter() - t0) / n
     mem_g = _mem(jax.local_devices()[0])
 
-    lowered_d = d_step.lower(g_state, d_state, images, adv_w).compile()
-    d_flops = _flops(lowered_d)
-    d_state, d_metrics = lowered_d(g_state, d_state, images, adv_w)
-    jax.block_until_ready(d_metrics["discriminator_loss"])
+    recon = metrics["recon"]
+    d_flops = _flops(d_step.lower(d_state, recon, images, adv_w).compile())
+    d_state, d_loss = d_step(d_state, recon, images, adv_w)
+    jax.block_until_ready(d_loss)
     t0 = time.perf_counter()
     for _ in range(n):
-        d_state, d_metrics = lowered_d(g_state, d_state, images, adv_w)
-    jax.block_until_ready(d_metrics["discriminator_loss"])
+        d_state, d_loss = d_step(d_state, recon, images, adv_w)
+    jax.block_until_ready(d_loss)
     d_dt = (time.perf_counter() - t0) / n
 
     out = {

@@ -235,3 +235,99 @@ def test_3dmedmnist_prep(tmp_path):
     splits = tmp_path / "data_splits"
     for split, n in (("train", 6), ("val", 2), ("test", 2)):
         assert len(_read_csv_paths(splits / f"organmnist3d_{split}.csv")) == n
+
+
+# ---- negative / edge-case coverage (archive corruption, raw-vs-gz, partition) --
+
+
+def test_idx_truncated_payload_raises(tmp_path):
+    """A truncated download must fail with a NAMED error, not silently parse
+    fewer/garbled images (the classic interrupted-fetch failure)."""
+    from ddpm_ood_tpu.data.get_computer_vision_datasets import _read_idx_images
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, size=(10, 28, 28), dtype=np.uint8)
+    p = tmp_path / "train-images-idx3-ubyte"
+    p.write_bytes(_idx_bytes(imgs)[: 16 + 5 * 28 * 28 + 100])  # half the data
+    with pytest.raises(ValueError, match="truncated IDX file"):
+        _read_idx_images(p)
+    # truncated even before the header completes
+    p.write_bytes(b"\x00\x00\x08")
+    with pytest.raises(ValueError, match="truncated IDX header"):
+        _read_idx_images(p)
+
+
+def test_idx_bad_magic_raises(tmp_path):
+    from ddpm_ood_tpu.data.get_computer_vision_datasets import _read_idx_images
+
+    p = tmp_path / "t10k-images-idx3-ubyte"
+    p.write_bytes(struct.pack(">IIII", 2049, 1, 28, 28) + b"\x00" * 784)
+    with pytest.raises(ValueError, match="bad IDX magic 2049"):
+        _read_idx_images(p)
+
+
+def test_idx_raw_equals_gzipped(tmp_path):
+    """The parser accepts both the .gz archive and a pre-decompressed raw file
+    (mirrors torchvision's behavior users expect when hand-placing files) and
+    yields identical pixels; a raw file misnamed .gz fails as gzip, loudly."""
+    from ddpm_ood_tpu.data.get_computer_vision_datasets import _read_idx_images
+
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 256, size=(4, 28, 28), dtype=np.uint8)
+    raw_p = tmp_path / "train-images-idx3-ubyte"
+    gz_p = tmp_path / "imgs.gz"
+    raw_p.write_bytes(_idx_bytes(imgs))
+    with gzip.open(gz_p, "wb") as f:
+        f.write(_idx_bytes(imgs))
+    np.testing.assert_array_equal(_read_idx_images(raw_p), _read_idx_images(gz_p))
+
+    fake_gz = tmp_path / "not-actually.gz"
+    fake_gz.write_bytes(_idx_bytes(imgs))  # raw bytes under a .gz name
+    with pytest.raises(gzip.BadGzipFile):
+        _read_idx_images(fake_gz)
+
+
+def test_cifar_truncated_pickle_raises(tmp_path):
+    import pickle
+
+    from ddpm_ood_tpu.data.get_computer_vision_datasets import prep_cifar10
+
+    extracted = tmp_path / "CIFAR10" / "raw" / "cifar-10-batches-py"
+    extracted.mkdir(parents=True)
+    payload = pickle.dumps(
+        {b"data": np.zeros((2, 3072), np.uint8)}, protocol=2
+    )
+    for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        (extracted / name).write_bytes(payload[: len(payload) // 2])
+    with pytest.raises(Exception) as exc_info:
+        prep_cifar10(tmp_path)
+    assert isinstance(
+        exc_info.value, (pickle.UnpicklingError, EOFError)
+    ), exc_info.value
+
+
+def test_partition_edge_cases():
+    """even_divisible wrap semantics at the edges the loaders actually hit:
+    fewer items than processes, exact division, and determinism."""
+    from ddpm_ood_tpu.data.csv_splits import partition_for_process
+
+    data = [{"image": f"i{i}"} for i in range(3)]
+    # 3 items over 4 processes: every process still gets >= 1 item (wrapped)
+    parts = [partition_for_process(data, 4, p) for p in range(4)]
+    assert all(len(x) == 1 for x in parts)
+    covered = {d["image"] for part in parts for d in part}
+    assert covered == {"i0", "i1", "i2"}  # wrap duplicates, never drops
+
+    # exact division: a clean partition of everything, no duplicates
+    data8 = [{"image": f"i{i}"} for i in range(8)]
+    parts = [partition_for_process(data8, 4, p) for p in range(4)]
+    assert [len(x) for x in parts] == [2, 2, 2, 2]
+    flat = [d["image"] for part in parts for d in part]
+    assert sorted(flat) == sorted(x["image"] for x in data8)
+
+    # deterministic across calls (same seed -> same shards on every process)
+    again = [partition_for_process(data8, 4, p) for p in range(4)]
+    assert parts == again
+
+    # single process: identity, order untouched
+    assert partition_for_process(data8, 1, 0) == data8
