@@ -104,11 +104,23 @@ def main() -> None:
             outs.append(fn(model_fn, x0, noise[off:off + k]))
         return outs
 
-    jax.block_until_ready(batched(x0, noise))  # compile
+    # sync on a device-side scalar fetched to host: block_until_ready alone can
+    # return early for idle-queue single programs through the axon tunnel
+    # (DESIGN.md "Measurement gotcha"); cross-checked on chip — 373.5 (block)
+    # vs 374.0 (scalar-fetch) recons/s, so this is belt-and-braces here
+    _reduce = jax.jit(
+        lambda outs: sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for o in outs
+            for leaf in jax.tree_util.tree_leaves(o)
+        )
+    )
+
+    float(_reduce(batched(x0, noise)))  # compile
     t0 = time.perf_counter()
     reps = 3 if on_tpu else 1
     for _ in range(reps):
-        jax.block_until_ready(batched(x0, noise))
+        float(_reduce(batched(x0, noise)))
     batched_time = (time.perf_counter() - t0) / reps
     recons_per_sec = K * BATCH / batched_time
 
@@ -119,14 +131,15 @@ def main() -> None:
             sched, mf, x_start, jnp.asarray(ts), t_start, STEPS
         )
 
+    _reduce1 = jax.jit(lambda r: jnp.sum(r.astype(jnp.float32)))
     subset = t_starts[:: max(1, K // SEQ_SUBSET)][:SEQ_SUBSET]
-    # compile once on the first lane
+    # compile once on the first lane (scalar-fetch sync, as above)
     xs = add_noise(sched, x0, noise[0], jnp.asarray(int(subset[0])))
-    one_lane(model_fn, xs, jnp.asarray(int(subset[0]))).block_until_ready()
+    float(_reduce1(one_lane(model_fn, xs, jnp.asarray(int(subset[0])))))
     t0 = time.perf_counter()
     for i, t_start in enumerate(subset):
         xs = add_noise(sched, x0, noise[i], jnp.asarray(int(t_start)))
-        one_lane(model_fn, xs, jnp.asarray(int(t_start))).block_until_ready()
+        float(_reduce1(one_lane(model_fn, xs, jnp.asarray(int(t_start)))))
     seq_time_subset = time.perf_counter() - t0
     seq_time_full = seq_time_subset * (K / len(subset))
     seq_recons_per_sec = K * BATCH / seq_time_full

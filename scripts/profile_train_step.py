@@ -60,13 +60,21 @@ def _time_scanned(fn, carry, steps: int, n_reps: int = 2) -> float:
         return carry
 
     jitted = jax.jit(scan_fn)
+
+    def sync(c):
+        # Through the axon tunnel, block_until_ready on large outputs can
+        # return before remote execution completes; fetching a device-side
+        # scalar forces real completion (see DESIGN.md "Measurement gotcha").
+        leaf = jax.tree_util.tree_leaves(c)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
     carry = jitted(carry)
-    jax.block_until_ready(carry)  # compile + warm
+    sync(carry)  # compile + warm
     best = float("inf")
     for _ in range(n_reps):
         t0 = time.perf_counter()
         carry = jitted(carry)
-        jax.block_until_ready(carry)
+        sync(carry)
         best = min(best, (time.perf_counter() - t0) / steps)
     return best
 

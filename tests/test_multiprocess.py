@@ -86,7 +86,9 @@ def test_two_process_reconstruct_and_checkpoint(tmp_path):
         )
         for pid in range(2)
     ]
-    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    # generous: ~190s standalone, but the suite may run under heavy host load
+    # (concurrent benches); 600s has been seen to flake there
+    outputs = [p.communicate(timeout=1500)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"recon worker {pid} failed:\n{out}"
         assert f"recon worker {pid}: OK" in out
