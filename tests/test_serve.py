@@ -74,6 +74,42 @@ def test_stats_mismatch_rejected(program):
         ScoringService(program, bad, batch_size=2)
 
 
+def test_single_row_val_stats_rejected(program):
+    """One validation row for a t_start makes the sample std (ddof=1) NaN —
+    the service must refuse at construction, not return NaN z-scores with
+    HTTP 200 (round-3 guard, serve.py ScoringService.__init__)."""
+    stats = _val_stats(program)
+    t0 = int(program.t_starts[0])
+    thin = pd.concat(
+        [stats[stats["t"] != t0], stats[stats["t"] == t0].head(1)]
+    )
+    with pytest.raises(ValueError, match="fewer than 2 rows"):
+        ScoringService(program, thin, batch_size=2)
+
+
+def test_oversized_content_length_rejected_413(service):
+    """A Content-Length above the service cap must be refused BEFORE the body
+    is buffered into host memory (round-3 guard, serve.py do_POST)."""
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_port
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score", data=b"x"
+        )
+        # lie about the length: far beyond batch_size * 64 MiB + slack
+        req.add_unredirected_header(
+            "Content-Length", str(service.max_body_bytes + 1)
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 413
+        assert "exceeds cap" in json.loads(e.value.read())["error"]
+    finally:
+        server.shutdown()
+
+
 def test_concurrent_requests_serialize_safely(service):
     """Parallel callers share one device program behind the service lock;
     both must complete with valid, independent results."""
