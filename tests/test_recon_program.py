@@ -50,6 +50,55 @@ def test_program_ddim_sampler(sched):
     assert np.isfinite(np.asarray(mse)).all()
 
 
+def test_program_plms_ref_sampler(sched):
+    """Program-level plms_ref: shapes/finiteness through the shared metrics
+    tail, plus the sharp cross-sampler invariant — the FIRST trajectory
+    (lowest t_start) carries no inherited PNDM history (reference
+    reconstruct.py:128-157 loops t_starts ascending), so with identical noise
+    its reconstruction metrics must equal the fresh-history production
+    sweep's lane at the same t_start."""
+
+    def host_noise(shape, t_starts):
+        # deterministic noise, identical for both programs
+        return np.random.default_rng(7).standard_normal(shape).astype(np.float32)
+
+    common = dict(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=3,
+    )
+    ref = ReconProgram(
+        sampler="plms_ref", host_noise_fn=host_noise, **common
+    )
+    fresh = ReconProgram(
+        sampler="plms", num_groups=2, host_noise_fn=host_noise,
+        latent_sample_shape=(8, 8, 1), **common
+    )
+    images = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(2, 8, 8, 1)).astype(np.float32)
+    )
+    ts_ref, mse_ref, perc_ref = ref(images, jax.random.PRNGKey(0))
+    ts_fresh, mse_fresh, _ = fresh(images, jax.random.PRNGKey(0))
+    assert mse_ref.shape == (len(ts_ref), 2)
+    assert np.isfinite(np.asarray(mse_ref)).all()
+    assert ref.last_preview.shape == (2, 8, 8, 1)
+
+    t_first = int(min(ts_ref))
+    i_ref = list(np.asarray(ts_ref)).index(t_first)
+    i_fresh = list(np.asarray(ts_fresh)).index(t_first)
+    np.testing.assert_allclose(
+        np.asarray(mse_ref)[i_ref], np.asarray(mse_fresh)[i_fresh],
+        rtol=1e-5, atol=1e-7,
+    )
+    # later lanes DIVERGE (carried history is real, not a no-op)
+    t_last = int(max(ts_ref))
+    j_ref = list(np.asarray(ts_ref)).index(t_last)
+    j_fresh = list(np.asarray(ts_fresh)).index(t_last)
+    assert not np.allclose(
+        np.asarray(mse_ref)[j_ref], np.asarray(mse_fresh)[j_fresh],
+        rtol=1e-5, atol=1e-7,
+    )
+
+
 def test_program_latent_pipeline(sched):
     """encode/decode Partials + latent pad round-trip inside the program."""
     def enc(scale, x):
