@@ -87,6 +87,66 @@ def main() -> None:
         # dedup (the scorer's DDP-artifact guard) recovers the 5 unique files
         assert merged.drop_duplicates(subset=["filename", "t"]).shape[0] == 5
 
+    # ---- VQ-VAE EMA codebook sync across REAL processes -----------------------
+    # The reference all-reduces EMA cluster stats across ranks (monai ddp_sync,
+    # train_vqvae.py:50); here the global-batch EMA update is compiled into the
+    # jitted G step. Each process computes the single-process reference on the
+    # full (deterministic) global batch and checks the cross-process sharded
+    # step reproduces it — params, EMA codebook, and loss.
+    from ddpm_ood_tpu.models.discriminator import PatchDiscriminator
+    from ddpm_ood_tpu.models.vqvae import VQVAE
+    from ddpm_ood_tpu.parallel.mesh import replicate
+    from ddpm_ood_tpu.train.vqvae import VQVAETrainSteps, make_vqvae_states
+
+    def states():
+        vq = VQVAE(
+            spatial_dims=2, in_channels=1, out_channels=1, num_res_layers=1,
+            downsample_parameters=((2, 4, 1, 1),),
+            upsample_parameters=((2, 4, 1, 1, 0),),
+            num_channels=(8,), num_res_channels=(8,),
+            num_embeddings=8, embedding_dim=4,
+        )
+        disc = PatchDiscriminator(
+            spatial_dims=2, num_layers_d=1, num_channels=8, in_channels=1
+        )
+        return make_vqvae_states(vq, disc, jax.random.PRNGKey(0), (16, 16, 1))
+
+    g_step = VQVAETrainSteps(spatial_dims=2, perceptual_fn=None).make_generator_step()
+    adv_w = jnp.float32(0.01)
+    n_global = 2 * num_procs  # one row per global device
+    global_images = (
+        np.random.default_rng(42).uniform(size=(n_global, 16, 16, 1))
+        .astype(np.float32)
+    )
+
+    g_ref, d_ref = states()
+    ref_g, ref_metrics = g_step(g_ref, d_ref, jnp.asarray(global_images), adv_w)
+
+    g2, d2 = states()
+    g2 = jax.device_put(g2, replicate(mesh))
+    d2 = jax.device_put(d2, replicate(mesh))
+    local_rows = global_images[pid * 2:pid * 2 + 2]
+    with mesh:
+        new_g, metrics = g_step(g2, d2, shard_batch(mesh, local_rows), adv_w)
+
+    np.testing.assert_allclose(
+        float(metrics["generator_loss"]), float(ref_metrics["generator_loss"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_g.ema["quantizer"]["cluster_size"]),
+        np.asarray(ref_g.ema["quantizer"]["cluster_size"]), atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_g.ema["quantizer"]["embedding"]),
+        np.asarray(ref_g.ema["quantizer"]["embedding"]), atol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_g.params),
+        jax.tree_util.tree_leaves(ref_g.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
     multihost_utils.sync_global_devices("done")
     print(f"worker {pid}: OK")
 
