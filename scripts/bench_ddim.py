@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""DDIM reconstruction sweep benchmark (framework extension, diffusion/ddim.py).
+
+Same headline geometry as bench.py (small UNet, 32x32 grayscale, 100 steps,
+skip 4, batch 32) with the deterministic DDIM sampler instead of PLMS, through
+the production ReconProgram (grouped lanes + metrics tail). DDIM does one UNet
+eval per step with no Adams-Bashforth history, so it is the cheaper sampler
+per start point.
+
+Usage: python scripts/bench_ddim.py [--batch 32] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--groups", type=int, default=16)
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args()
+
+    cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ddpm_ood_tpu.diffusion.schedules import make_schedule
+    from ddpm_ood_tpu.models.unet import make_unet
+    from ddpm_ood_tpu.recon.sweep import ReconProgram
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    batch = 4 if args.quick else args.batch
+    steps = 10 if args.quick else 100
+    skip = 3 if args.quick else 4
+    model = "tiny" if args.quick else "small"
+    size = 32
+
+    unet = make_unet(model, 2, 1, 1, dtype=dtype)
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    model_fn = jax.tree_util.Partial(
+        lambda p_, x, t: unet.apply({"params": p_}, x, t), params
+    )
+    sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+    prog = ReconProgram(
+        sched=sched, model_fn=model_fn, num_inference_steps=steps,
+        inference_skip_factor=skip, sampler="ddim",
+        num_groups=2 if args.quick else args.groups,
+    )
+    K = len(prog.t_starts)
+    images = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(batch, size, size, 1))
+        .astype(np.float32)
+    )
+
+    # ReconProgram's metrics come back as (K, B) scalars — fetching them to
+    # host forces real completion (DESIGN.md "Measurement gotcha")
+    def run(key):
+        _, mse, _ = prog(images, key)
+        return float(np.asarray(mse).sum())
+
+    run(jax.random.PRNGKey(0))  # compile + warm
+    n = 1 if args.quick else 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        run(jax.random.PRNGKey(i))
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "bench": "ddim_sweep",
+        "backend": jax.default_backend(),
+        "batch": batch,
+        "lanes": K,
+        "groups": args.groups,
+        "recons_per_s": round(K * batch / dt, 1),
+        "sweep_s": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
