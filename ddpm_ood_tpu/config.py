@@ -73,6 +73,14 @@ def parse_args_train_ddpm(argv=None) -> argparse.Namespace:
     )
     _ddpm_model_flags(parser)
     parser.add_argument("--batch_size", type=int, default=512, help="Training batch size.")
+    parser.add_argument(
+        "--ema_decay", type=float, default=0.0,
+        help="Keep an exponential moving average of UNet weights with this "
+        "decay (framework extension; 0 disables, matching the reference, which "
+        "has no weight EMA). The EMA is updated inside the jitted step and "
+        "checkpointed as ema_model_state_dict; score with it via "
+        "reconstruct.py --use_ema 1.",
+    )
     parser.add_argument("--n_epochs", type=int, default=300, help="Number of epochs to train.")
     parser.add_argument(
         "--eval_freq", type=int, default=10, help="Epochs between evaluations."
@@ -252,6 +260,18 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "planes with the native C++ kernel on the host (the reference's "
         "scoring-time noise, reconstruct.py:130-142); 'device' uses the "
         "on-device statistical stand-in (faster, not bit-identical).",
+    )
+    parser.add_argument(
+        "--profile_dir", default=None,
+        help="Capture a jax.profiler device trace of one warm (already-"
+        "compiled) sweep batch into this directory (framework extension; "
+        "TensorBoard-loadable).",
+    )
+    parser.add_argument(
+        "--use_ema", type=int, default=0,
+        help="Reconstruct with the checkpoint's EMA weights "
+        "(ema_model_state_dict, written by train_ddpm.py --ema_decay > 0) "
+        "instead of the raw training weights. Framework extension.",
     )
     parser.add_argument(
         "--recon_groups", type=int, default=8,

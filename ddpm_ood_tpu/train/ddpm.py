@@ -30,7 +30,10 @@ from ..utils.padding import pad_torch_style
 
 
 class TrainState(train_state.TrainState):
-    pass
+    # Exponential moving average of params (framework extension; the reference
+    # trains without weight EMA). None when disabled so the checkpoint payload
+    # and restore templates keep the reference schema exactly in that case.
+    ema_params: Optional[dict] = None
 
 
 def make_ddpm_state(
@@ -38,13 +41,17 @@ def make_ddpm_state(
     rng: jax.Array,
     sample_shape: Tuple[int, ...],
     learning_rate: float = 2.5e-5,
+    with_ema: bool = False,
 ) -> TrainState:
     """Init params on a (1, *spatial, C) dummy and build the Adam state."""
     dummy_x = jnp.zeros((1,) + tuple(sample_shape), dtype=jnp.float32)
     dummy_t = jnp.zeros((1,), dtype=jnp.int32)
     params = unet.init(rng, dummy_x, dummy_t)["params"]
     tx = optax.adam(learning_rate)
-    return TrainState.create(apply_fn=unet.apply, params=params, tx=tx)
+    ema = jax.tree_util.tree_map(jnp.array, params) if with_ema else None
+    return TrainState.create(
+        apply_fn=unet.apply, params=params, tx=tx, ema_params=ema
+    )
 
 
 @dataclasses.dataclass
@@ -62,6 +69,7 @@ class DDPMTrainStep:
     has_encoder: bool = False  # LDM path: steps take a trailing encode_fn arg
     latent_pad: Optional[Tuple[int, ...]] = None
     external_noise: bool = False  # True: caller supplies noise (simplex path)
+    ema_decay: float = 0.0  # > 0: update state.ema_params each step (extension)
 
     def _prepare(self, images: jnp.ndarray, encode_fn) -> jnp.ndarray:
         x = images
@@ -82,7 +90,17 @@ class DDPMTrainStep:
         loss, grads = jax.value_and_grad(
             lambda p: self._loss(state, p, x0, noise, t)
         )(state.params)
-        return state.apply_gradients(grads=grads), loss
+        new_state = state.apply_gradients(grads=grads)
+        if self.ema_decay > 0.0:
+            d = self.ema_decay
+            new_state = new_state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state.ema_params,
+                    new_state.params,
+                )
+            )
+        return new_state, loss
 
     def _draw(self, rng, x0):
         t_key, n_key = jax.random.split(rng)

@@ -144,7 +144,14 @@ class BaseTrainer:
         self.run_dir.mkdir(parents=True, exist_ok=True)
         sample_shape = self._latent_sample_shape()
         rng = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
-        self.state = make_ddpm_state(self.unet, rng, sample_shape, learning_rate=2.5e-5)
+        # weight EMA (framework extension): tracked when training with
+        # --ema_decay > 0; --use_ema (reconstruct) restores into the same slot
+        self.ema_decay = float(getattr(args, "ema_decay", 0) or 0)
+        self.use_ema = bool(getattr(args, "use_ema", 0))
+        self.state = make_ddpm_state(
+            self.unet, rng, sample_shape, learning_rate=2.5e-5,
+            with_ema=self.ema_decay > 0 or self.use_ema,
+        )
         info(f"{param_count(self.state.params):,} model parameters")
 
         # -- resume ----------------------------------------------------------------
@@ -164,6 +171,17 @@ class BaseTrainer:
                 "model_state_dict": ckpt.to_host(self.state.params),
                 "optimizer_state_dict": ckpt.to_host(self.state.opt_state),
             }
+            # the saved tree's structure is the restore contract: include the
+            # EMA slot iff this checkpoint was written with one (EMA-off runs
+            # keep the reference's exact schema)
+            ckpt_has_ema = "ema_model_state_dict" in ckpt.checkpoint_keys(path)
+            if ckpt_has_ema:
+                template["ema_model_state_dict"] = ckpt.to_host(self.state.params)
+            if self.use_ema and not ckpt_has_ema:
+                raise RuntimeError(
+                    f"--use_ema requested but checkpoint {path} has no "
+                    f"ema_model_state_dict (was it trained with --ema_decay > 0?)"
+                )
             if jax.process_count() > 1:
                 # multi-process restore needs concrete (replicated) shardings
                 template = ckpt.replicated_restore_template(self.mesh, template)
@@ -172,10 +190,23 @@ class BaseTrainer:
             self.start_epoch = int(payload["epoch"])
             self.global_step = int(payload["global_step"])
             self.best_loss = float(payload["best_loss"])
+            restored_params = payload["model_state_dict"]
+            if ckpt_has_ema:
+                ema_params = payload["ema_model_state_dict"]
+            elif self.state.ema_params is not None:
+                # resuming a pre-EMA run with --ema_decay now on: seed the
+                # average from the restored weights
+                ema_params = restored_params
+            else:
+                ema_params = None
+            if self.use_ema:
+                info("Using EMA weights (ema_model_state_dict) for the model")
+                restored_params = payload["ema_model_state_dict"]
             # host-side dtype casts: per-leaf device ops here would issue hundreds
             # of tiny RPCs through the TPU tunnel (observed multi-minute resumes)
             self.state = self.state.replace(
-                params=payload["model_state_dict"],
+                params=restored_params,
+                ema_params=ema_params if self.state.ema_params is not None else None,
                 opt_state=jax.tree_util.tree_map(
                     lambda t, s: np.asarray(s, dtype=t.dtype)
                     if hasattr(t, "dtype") else s,
@@ -265,4 +296,6 @@ class BaseTrainer:
             "model_state_dict": self.state.params,
             "optimizer_state_dict": self.state.opt_state,
         }
+        if self.state.ema_params is not None:
+            payload["ema_model_state_dict"] = self.state.ema_params
         ckpt.save_checkpoint(self.run_dir, name, payload)

@@ -58,6 +58,7 @@ class DDPMTrainer(BaseTrainer):
             has_encoder=self._has_encoder,
             latent_pad=self.latent_pad,
             external_noise=self.simplex_noise,
+            ema_decay=self.ema_decay,
         )
         self._train_step = step_builder.make_train_step()
         self._eval_step = step_builder.make_eval_step()

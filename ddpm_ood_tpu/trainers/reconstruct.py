@@ -164,7 +164,15 @@ class Reconstruct(BaseTrainer):
         results: List[dict] = []
         preview_saved = False
         compiled_b: Optional[int] = None
-        for batch in loader:
+        profile_dir = getattr(getattr(self, "args", None), "profile_dir", None)
+        for batch_idx, batch in enumerate(loader):
+            # trace ONE warm batch (the second: batch 0 pays the compiles) —
+            # the sweep-side counterpart of the trainer's --profile_dir hook
+            profiling = bool(
+                profile_dir and batch_idx == 1 and not getattr(self, "_profiled", False)
+            )
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
             t1 = time.time()
             images = channels_last(batch["image"])
             b = images.shape[0]
@@ -181,6 +189,10 @@ class Reconstruct(BaseTrainer):
             t_starts, mse, perc = program(self.shard(images), sub)
             mse = np.asarray(mse)  # (K, B_global) — replicated under multihost
             perc = np.asarray(perc)
+            if profiling:
+                jax.profiler.stop_trace()  # np.asarray above already synced
+                self._profiled = True
+                info(f"Wrote device trace of one sweep batch to {profile_dir}")
             if jax.process_count() > 1:
                 # the global batch concatenates per-process shards in process
                 # order (parallel/mesh.py shard_batch); pick out OUR columns,

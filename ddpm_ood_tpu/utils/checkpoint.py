@@ -123,6 +123,24 @@ def restore_checkpoint(
     return ckptr.restore(path)
 
 
+def checkpoint_keys(path: str | Path) -> list:
+    """Top-level keys of a saved checkpoint WITHOUT restoring its arrays.
+
+    Used to detect schema extensions (e.g. the optional ema_model_state_dict
+    written by --ema_decay runs) so restore templates can match the saved tree
+    structure exactly."""
+    path = Path(path).absolute()
+    try:
+        meta = _checkpointer().metadata(path)
+        tree = getattr(meta, "item_metadata", None)
+        if tree is None:
+            tree = meta
+        return list(tree.keys())
+    except Exception:
+        # metadata API unavailable / older layout: fall back to a full restore
+        return list(_checkpointer().restore(path).keys())
+
+
 def find_checkpoint(
     run_dir: str | Path, epoch: Optional[int] = None
 ) -> Optional[Path]:

@@ -100,6 +100,9 @@ def main() -> None:
                         help="comma list of plms|plms_ref|ddim to compare")
     parser.add_argument("--simplex", action="store_true",
                         help="train + reconstruct with simplex noise")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="train with a weight EMA at this decay and ALSO "
+                        "score with --use_ema (reported as '<sampler>+ema')")
     parser.add_argument("--workdir", default=None)
     args = parser.parse_args()
 
@@ -123,13 +126,17 @@ def main() -> None:
         n_epochs=args.epochs, eval_freq=10**9, augmentation=0, num_workers=2,
         cache_data=1, checkpoint_every=10**9, ddpm_checkpoint_epoch=None,
         is_grayscale=1, quick_test=0, profile_dir=None,
+        ema_decay=args.ema_decay,
     )
     trainer = DDPMTrainer(ns)
     trainer.train(ns)
 
     out_dir = Path(ns.output_dir) / ns.model_name / "ood"
+    variants = [(s, 0) for s in args.samplers.split(",")]
+    if args.ema_decay > 0:
+        variants.append((args.samplers.split(",")[0], 1))
     per_sampler = {}
-    for sampler in args.samplers.split(","):
+    for sampler, use_ema in variants:
         rargs = argparse.Namespace(**vars(ns))
         rargs.in_ids = in_csv
         rargs.out_ids = f"{out_csv},{near_csv}"
@@ -141,9 +148,10 @@ def main() -> None:
         rargs.drop_last = False
         rargs.eval_checkpoint = None
         rargs.sampler = sampler
+        rargs.use_ema = use_ema
         recon = Reconstruct(rargs)
         recon.reconstruct(rargs)
-        per_sampler[sampler] = {
+        per_sampler[sampler + ("+ema" if use_ema else "")] = {
             "easy": score_run(out_dir, "outset"),
             "hard": score_run(out_dir, "nearset"),
         }

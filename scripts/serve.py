@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--num_inference_steps", type=int, default=100)
     p.add_argument("--inference_skip_factor", type=int, default=1)
     p.add_argument("--sampler", default="plms")
+    p.add_argument("--use_ema", type=int, default=0,
+                   help="serve with the checkpoint's EMA weights "
+                   "(ema_model_state_dict)")
     p.add_argument("--recon_groups", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=8,
                    help="compiled request batch; requests up to this size share "

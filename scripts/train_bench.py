@@ -44,6 +44,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="measure the train step with the weight-EMA update on")
     args = p.parse_args()
 
     cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
@@ -59,8 +61,10 @@ def main() -> None:
 
     unet = make_unet(model, 2, 1, 1, dtype=dtype)
     sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
-    state = make_ddpm_state(unet, jax.random.PRNGKey(0), (32, 32, 1))
-    builder = DDPMTrainStep(sched=sched)
+    state = make_ddpm_state(
+        unet, jax.random.PRNGKey(0), (32, 32, 1), with_ema=args.ema_decay > 0
+    )
+    builder = DDPMTrainStep(sched=sched, ema_decay=args.ema_decay)
     train_step = builder.make_train_step()
 
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch, 32, 32, 1))
