@@ -247,12 +247,13 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         help="Only reconstruct from every n-th start timestep.",
     )
     parser.add_argument(
-        "--sampler", default="plms", choices=("plms", "plms_ref", "ddim"),
+        "--sampler", default="plms", choices=("plms", "plms_ref", "ddim", "dpm"),
         help="Reconstruction sampler (framework extension; the reference is "
         "PLMS-only). 'plms' = batched sweep with a fresh epsilon history per "
         "start point; 'plms_ref' = the reference's exact carried-history "
         "semantics (sequential, for parity quantification); 'ddim' is "
-        "deterministic and cheaper per step.",
+        "deterministic and cheaper per step; 'dpm' = DPM-Solver++(2M), "
+        "comparable quality at ~4x fewer --num_inference_steps.",
     )
     parser.add_argument(
         "--simplex_noise_mode", default="exact", choices=("exact", "device"),

@@ -120,6 +120,48 @@ def ddim_sweep(
     return x
 
 
+def dpm_sweep(
+    sched: NoiseSchedule,
+    model_fn: ModelFn,
+    x0: jnp.ndarray,
+    noise: jnp.ndarray,
+    timesteps_desc: jnp.ndarray,
+    t_starts: jnp.ndarray,
+    num_inference_steps: int,
+    b_scale: float = 1.0,
+) -> jnp.ndarray:
+    """DPM-Solver++(2M) variant of the multi-lane sweep: per-lane carry is
+    (x, prev_x0, has_prev); same lane-masking contract as plms_sweep. The
+    second-order step needs ~4x fewer grid points than PLMS for comparable
+    reconstructions (diffusion/dpm_solver.py)."""
+    from ..diffusion.dpm_solver import dpm_init_state, dpm_step
+
+    K = t_starts.shape[0]
+    B = x0.shape[0]
+    sample_shape = x0.shape
+    step_ratio = sched.num_train_timesteps // num_inference_steps
+
+    x_start = jax.vmap(lambda n, t: add_noise(sched, x0 * b_scale, n, t))(
+        noise, t_starts
+    )
+    state = jax.vmap(dpm_init_state)(x_start)
+
+    def body(state, t):
+        x_flat = state.x.reshape((K * B,) + sample_shape[1:])
+        t_flat = jnp.full((K * B,), t, dtype=jnp.int32)
+        out = model_fn(x_flat, t_flat).reshape((K, B) + sample_shape[1:])
+        active = t <= t_starts  # (K,)
+        state = jax.vmap(
+            lambda s, o, a: dpm_step(
+                sched, s, o, t, t - step_ratio, t + step_ratio, active=a
+            )
+        )(state, out, active)
+        return state, None
+
+    state, _ = jax.lax.scan(body, state, timesteps_desc)
+    return state.x
+
+
 def group_t_starts(
     timesteps_desc: np.ndarray, t_starts: np.ndarray, num_groups: int
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -163,7 +205,8 @@ class ReconProgram:
     # "plms": batched sweep, fresh history per t_start (the performance path);
     # "plms_ref": the reference's exact carried-history semantics, sequential
     #             (quantification/parity path — see diffusion/plms.py);
-    # "ddim": extension.
+    # "ddim", "dpm": extensions (dpm = DPM-Solver++(2M): comparable quality at
+    #                ~4x fewer steps, diffusion/dpm_solver.py).
     sampler: str = "plms"
     latent_pad: Optional[Tuple[int, ...]] = None
     # stage-2 hooks; identity for pixel-space models (PassthroughVQVAE parity)
@@ -188,7 +231,7 @@ class ReconProgram:
     out_mesh: Optional[object] = None
 
     def __post_init__(self):
-        if self.sampler == "ddim":
+        if self.sampler in ("ddim", "dpm"):
             from ..diffusion.ddim import ddim_timesteps
 
             self.timesteps_desc = ddim_timesteps(
@@ -239,7 +282,9 @@ class ReconProgram:
             else:
                 noise = jax.random.normal(rng_or_noise, noise_shape, dtype=x.dtype)
 
-            sweep = plms_sweep if self.sampler == "plms" else ddim_sweep
+            sweep = {"plms": plms_sweep, "ddim": ddim_sweep, "dpm": dpm_sweep}[
+                self.sampler
+            ]
             recon = sweep(
                 self.sched,
                 model_fn,

@@ -51,6 +51,29 @@ def _mem(device) -> dict:
         return {}
 
 
+def _static_mem(compiled) -> dict:
+    """XLA's static buffer assignment for the compiled program — the reliable
+    HBM accounting here (the tunnel's device.memory_stats() returns None and
+    device_memory_profile() crashes the plugin): arguments (params/optimizer/
+    batch) + outputs + temp (activation/workspace high-water mark)."""
+    try:
+        ma = compiled.memory_analysis()
+        total = (
+            ma.argument_size_in_bytes
+            + ma.output_size_in_bytes
+            + ma.temp_size_in_bytes
+            + ma.generated_code_size_in_bytes
+            - ma.alias_size_in_bytes
+        )
+        return {
+            "hbm_args_gib": round(ma.argument_size_in_bytes / 2**30, 2),
+            "hbm_temp_gib": round(ma.temp_size_in_bytes / 2**30, 2),
+            "hbm_total_static_gib": round(total / 2**30, 2),
+        }
+    except Exception:
+        return {}
+
+
 def _flops(compiled, fallback=None):
     try:
         ca = compiled.cost_analysis()
@@ -106,7 +129,9 @@ def bench_vqvae(args, remat: bool) -> dict:
     )
     adv_w = jnp.float32(0.01)
 
-    g_flops = _flops(g_step.lower(g_state, d_state, images, adv_w).compile())
+    g_compiled = g_step.lower(g_state, d_state, images, adv_w).compile()
+    g_flops = _flops(g_compiled)
+    g_mem = _static_mem(g_compiled)
     g_state, metrics = g_step(g_state, d_state, images, adv_w)
     jax.block_until_ready(metrics["generator_loss"])
     n = 2 if args.quick else 6
@@ -137,6 +162,7 @@ def bench_vqvae(args, remat: bool) -> dict:
         "d_step_ms": round(d_dt * 1e3, 1),
         "img_per_s_g_plus_d": round(batch / (g_dt + d_dt), 2),
         **mem_g,
+        **{f"g_{k}": v for k, v in g_mem.items()},
     }
     if g_flops and jax.default_backend() == "tpu":
         out["g_mfu"] = round(g_flops / g_dt / V5E_PEAK, 4)
@@ -162,6 +188,7 @@ def bench_ldm_latent(args) -> dict:
     step = DDPMTrainStep(sched=sched).make_train_step()
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch,) + latent)
     rng = jax.random.PRNGKey(2)
+    mem = _static_mem(step.lower(state, images, rng).compile())
     state, loss = step(state, images, rng)
     jax.block_until_ready(loss)
     n = 4 if args.quick else 16
@@ -178,6 +205,7 @@ def bench_ldm_latent(args) -> dict:
         "step_ms": round(dt * 1e3, 1),
         "img_per_s": round(batch / dt, 1),
         **_mem(jax.local_devices()[0]),
+        **mem,
     }
 
 

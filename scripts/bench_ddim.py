@@ -1,13 +1,14 @@
 #!/usr/bin/env python
-"""DDIM reconstruction sweep benchmark (framework extension, diffusion/ddim.py).
+"""Sampler-extension sweep benchmark (diffusion/{ddim,dpm_solver}.py).
 
-Same headline geometry as bench.py (small UNet, 32x32 grayscale, 100 steps,
-skip 4, batch 32) with the deterministic DDIM sampler instead of PLMS, through
-the production ReconProgram (grouped lanes + metrics tail). DDIM does one UNet
-eval per step with no Adams-Bashforth history, so it is the cheaper sampler
-per start point.
+Same headline geometry as bench.py (small UNet, 32x32 grayscale, batch 32) with
+a selectable sampler and grid, through the production ReconProgram (grouped
+lanes + metrics tail). DDIM does one UNet eval per step with no history;
+DPM-Solver++(2M) is second order, so `--sampler dpm --steps 25 --skip 1` holds
+the 25-start-point sweep shape while cutting UNet evals ~4x.
 
-Usage: python scripts/bench_ddim.py [--batch 32] [--quick]
+Usage: python scripts/bench_ddim.py [--sampler ddim|dpm|plms] [--steps N]
+       [--skip N] [--batch 32] [--quick]
 """
 
 from __future__ import annotations
@@ -29,6 +30,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--groups", type=int, default=16)
+    p.add_argument("--sampler", default="ddim", choices=("plms", "ddim", "dpm"))
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--skip", type=int, default=4)
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
 
@@ -44,8 +48,8 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     batch = 4 if args.quick else args.batch
-    steps = 10 if args.quick else 100
-    skip = 3 if args.quick else 4
+    steps = 10 if args.quick else args.steps
+    skip = 3 if args.quick else args.skip
     model = "tiny" if args.quick else "small"
     size = 32
 
@@ -60,7 +64,7 @@ def main() -> None:
     sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
     prog = ReconProgram(
         sched=sched, model_fn=model_fn, num_inference_steps=steps,
-        inference_skip_factor=skip, sampler="ddim",
+        inference_skip_factor=skip, sampler=args.sampler,
         num_groups=2 if args.quick else args.groups,
     )
     K = len(prog.t_starts)
@@ -82,7 +86,9 @@ def main() -> None:
         run(jax.random.PRNGKey(i))
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({
-        "bench": "ddim_sweep",
+        "bench": f"{args.sampler}_sweep",
+        "steps": steps,
+        "skip": skip,
         "backend": jax.default_backend(),
         "batch": batch,
         "lanes": K,

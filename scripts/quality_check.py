@@ -97,7 +97,10 @@ def main() -> None:
     parser.add_argument("--skip", type=int, default=2,
                         help="inference_skip_factor (headline config: 4)")
     parser.add_argument("--samplers", default="plms",
-                        help="comma list of plms|plms_ref|ddim to compare")
+                        help="comma list of plms|plms_ref|ddim|dpm to compare; "
+                        "a token may carry its own grid as name@steps/skip "
+                        "(e.g. 'plms,dpm@25/1' scores DPM-Solver++ on a 4x "
+                        "cheaper grid against the default PLMS grid)")
     parser.add_argument("--simplex", action="store_true",
                         help="train + reconstruct with simplex noise")
     parser.add_argument("--ema_decay", type=float, default=0.0,
@@ -131,27 +134,35 @@ def main() -> None:
     trainer = DDPMTrainer(ns)
     trainer.train(ns)
 
+    def parse_token(token):
+        """'name' or 'name@steps/skip' -> (name, steps, skip, label)."""
+        if "@" in token:
+            name, grid = token.split("@", 1)
+            steps_s, skip_s = grid.split("/", 1)
+            return name, int(steps_s), int(skip_s), token
+        return token, args.steps, args.skip, token
+
     out_dir = Path(ns.output_dir) / ns.model_name / "ood"
-    variants = [(s, 0) for s in args.samplers.split(",")]
+    variants = [parse_token(t) + (0,) for t in args.samplers.split(",")]
     if args.ema_decay > 0:
-        variants.append((args.samplers.split(",")[0], 1))
+        variants.append(parse_token(args.samplers.split(",")[0]) + (1,))
     per_sampler = {}
-    for sampler, use_ema in variants:
+    for sampler, steps, skip, label, use_ema in variants:
         rargs = argparse.Namespace(**vars(ns))
         rargs.in_ids = in_csv
         rargs.out_ids = f"{out_csv},{near_csv}"
         rargs.first_n = None
         rargs.first_n_val = None
         rargs.run_val, rargs.run_in, rargs.run_out = 1, 1, 1
-        rargs.num_inference_steps = args.steps
-        rargs.inference_skip_factor = args.skip
+        rargs.num_inference_steps = steps
+        rargs.inference_skip_factor = skip
         rargs.drop_last = False
         rargs.eval_checkpoint = None
         rargs.sampler = sampler
         rargs.use_ema = use_ema
         recon = Reconstruct(rargs)
         recon.reconstruct(rargs)
-        per_sampler[sampler + ("+ema" if use_ema else "")] = {
+        per_sampler[label + ("+ema" if use_ema else "")] = {
             "easy": score_run(out_dir, "outset"),
             "hard": score_run(out_dir, "nearset"),
         }
