@@ -256,6 +256,14 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "comparable quality at ~4x fewer --num_inference_steps.",
     )
     parser.add_argument(
+        "--score_elbo", type=int, default=0,
+        help="Framework extension: also emit the per-(image, t) variational-"
+        "bound KL term (bits/dim, diffusion/elbo.py) as an 'elbo' column in "
+        "the results CSVs — likelihood-based OOD scoring beside the "
+        "reconstruction metrics, at ~2%% extra sweep cost. Score with "
+        "ood_detection.py --plot_target=elbo (or mse+elbo).",
+    )
+    parser.add_argument(
         "--simplex_noise_mode", default="exact", choices=("exact", "device"),
         help="With --simplex_noise: 'exact' draws bit-faithful OpenSimplex "
         "planes with the native C++ kernel on the host (the reference's "
@@ -311,8 +319,10 @@ def parse_args_ood_detection(argv=None) -> argparse.Namespace:
     )
     parser.add_argument(
         "--plot_target", default="mse",
-        choices=("mse", "perceptual_difference", "mse+perceptual"),
+        choices=("mse", "perceptual_difference", "mse+perceptual", "elbo",
+                 "mse+elbo"),
         help="Z-score target for the AUROC (framework extension; the reference "
-        "hardcodes 'mse', ood_detection.py:73).",
+        "hardcodes 'mse', ood_detection.py:73). 'elbo' targets require result "
+        "CSVs produced with reconstruct.py --score_elbo=1.",
     )
     return parser.parse_args(argv)

@@ -10,6 +10,8 @@ from .schedules import (  # noqa: F401
 )
 from .ddpm import ddpm_step, ddpm_sample  # noqa: F401
 from .ddim import ddim_step, ddim_denoise, ddim_timesteps  # noqa: F401
+from .dpm_solver import dpm_denoise, dpm_step, dpm_timesteps  # noqa: F401
+from .elbo import elbo_kl_weights, elbo_terms_from_model  # noqa: F401
 from .plms import (  # noqa: F401
     PLMSState,
     pndm_timesteps,

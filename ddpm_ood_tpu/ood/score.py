@@ -124,12 +124,26 @@ def compute_ood_scores(
     in_df = select_t(dedup(in_df), t_values)
     out_df = select_t(dedup(out_df), t_values)
     combined = pd.concat((in_df, out_df))
-    combined = zscore_against_val(combined, val_df)
+    # the optional likelihood column (reconstruct.py --score_elbo=1) rides the
+    # same per-t z-score machinery when present in both val and test CSVs
+    targets = ["perceptual_difference", "mse"]
+    if "elbo" in combined.columns and "elbo" in val_df.columns:
+        targets.append("elbo")
+    elif plot_target in ("elbo", "mse+elbo"):
+        raise ValueError(
+            f"plot_target={plot_target!r} needs an 'elbo' column in the result "
+            "CSVs — rerun reconstruct.py with --score_elbo=1"
+        )
+    combined = zscore_against_val(combined, val_df, targets=targets)
 
     target = f"z_score_{plot_target}"
     if plot_target == "mse+perceptual":
         combined["z_score_mse+perceptual"] = (
             combined["z_score_mse"] + combined["z_score_perceptual_difference"]
+        )
+    elif plot_target == "mse+elbo":
+        combined["z_score_mse+elbo"] = (
+            combined["z_score_mse"] + combined["z_score_elbo"]
         )
     per_image = (
         combined.groupby(["filename", "type"]).mean(numeric_only=True).reset_index()

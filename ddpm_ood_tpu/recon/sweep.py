@@ -229,6 +229,12 @@ class ReconProgram:
     # with np.asarray and slice out its own columns — without this, outputs
     # span non-addressable devices and host fetch raises. Single-process: None.
     out_mesh: Optional[object] = None
+    # likelihood-based OOD extension: additionally emit the per-(lane, image)
+    # variational-bound KL term (bits/dim, diffusion/elbo.py) computed from the
+    # SAME noise draw and x_t the lane's trajectory starts from — one extra
+    # mega-batched UNet eval per group (~2% of the sweep). __call__ then
+    # returns a 4th (K, B) array.
+    score_elbo: bool = False
 
     def __post_init__(self):
         if self.sampler in ("ddim", "dpm"):
@@ -243,6 +249,11 @@ class ReconProgram:
             )
         else:
             raise ValueError(f"Unknown sampler {self.sampler!r}")
+        if self.score_elbo and self.sampler == "plms_ref":
+            raise ValueError(
+                "score_elbo is not supported with sampler='plms_ref' (the "
+                "bit-parity path emits exactly the reference's outputs)"
+            )
         self.t_starts = pndm_start_points(
             self.timesteps_desc, self.inference_skip_factor
         )
@@ -296,7 +307,33 @@ class ReconProgram:
                 self.b_scale,
             )  # (K, B, *latent, C)
 
-            return self._score_body(decode_fn, images_original, recon)
+            scores = self._score_body(decode_fn, images_original, recon)
+            if not self.score_elbo:
+                return scores
+            # likelihood term: re-form each lane's own x_t (fused with the
+            # sweep's identical expression by XLA) and do one mega-batched
+            # eval at the start points — the only extra UNet work
+            from ..diffusion.elbo import elbo_terms_from_model
+
+            B = x.shape[0]
+            x_t = jax.vmap(
+                lambda n, t: add_noise(self.sched, x * self.b_scale, n, t)
+            )(noise, t_starts_j)  # (K, B, *latent, C)
+            flat = x_t.reshape((K * B,) + x.shape[1:])
+            t_flat = jnp.repeat(t_starts_j, B)
+            out = model_fn(flat, t_flat).reshape((K, B) + x.shape[1:])
+            elbo = jax.vmap(
+                lambda o, xt, n, t: elbo_terms_from_model(
+                    self.sched, o, xt, n, t
+                )
+            )(out, x_t, noise, t_starts_j)  # (K, B) bits/dim
+            if self.out_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                elbo = jax.lax.with_sharding_constraint(
+                    elbo, NamedSharding(self.out_mesh, PartitionSpec())
+                )
+            return scores + (elbo,)
 
         return jax.jit(program)
 
@@ -391,8 +428,9 @@ class ReconProgram:
         return np.asarray(self.t_starts), mse, perc
 
     def __call__(self, images: jnp.ndarray, rng: jax.Array):
-        """Score one batch. Returns (t_starts (K,), mse (K,B), perceptual (K,B));
-        the last group's preview recon is stashed on `self.last_preview`."""
+        """Score one batch. Returns (t_starts (K,), mse (K,B), perceptual (K,B))
+        — plus a 4th elbo (K,B) bits/dim array when score_elbo is set; the last
+        group's preview recon is stashed on `self.last_preview`."""
         if self.sampler == "plms_ref":
             return self._call_reference_exact(images, rng)
         noise_full = None
@@ -407,7 +445,7 @@ class ReconProgram:
                 ),
                 dtype=np.float32,
             )
-        mses, percs, starts = [], [], []
+        mses, percs, elbos, starts = [], [], [], []
         offset = 0
         for gi, (ts_desc, t_starts) in enumerate(self._groups):
             key = (ts_desc.shape[0], t_starts.shape[0], images.shape)
@@ -420,15 +458,21 @@ class ReconProgram:
             else:
                 rng, arg = jax.random.split(rng)
             offset += len(t_starts)
-            mse, perc, preview = self._compiled[key](
+            out = self._compiled[key](
                 self.model_fn, self.encode_fn, self.decode_fn, images, arg
             )
+            mse, perc, preview = out[:3]
             mses.append(mse)
             percs.append(perc)
+            if self.score_elbo:
+                elbos.append(out[3])
             starts.append(t_starts)
         self.last_preview = preview  # from the highest-t_start group
-        return (
+        base = (
             np.concatenate(starts),
             jnp.concatenate(mses, axis=0),
             jnp.concatenate(percs, axis=0),
         )
+        if self.score_elbo:
+            return base + (jnp.concatenate(elbos, axis=0),)
+        return base

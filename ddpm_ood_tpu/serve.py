@@ -70,6 +70,7 @@ def build_recon_program(
         host_noise_fn=host_noise_fn,
         latent_sample_shape=tuple(trainer._latent_sample_shape()),
         out_mesh=trainer.mesh if jax.process_count() > 1 else None,
+        score_elbo=bool(getattr(args, "score_elbo", 0)),
     )
 
 
@@ -145,7 +146,9 @@ class ScoringService:
         pad = np.take(images, np.arange(self.batch_size) % b, axis=0)
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
-            t_starts, mse, perc = self.program(pad, sub)
+            # [:3] tolerates a score_elbo-enabled program (the service
+            # z-scores mse/perceptual only — val CSVs may predate the column)
+            t_starts, mse, perc = self.program(pad, sub)[:3]
         mse = np.asarray(mse)[:, :b]          # (K, B)
         perc = np.asarray(perc)[:, :b]
         out = []

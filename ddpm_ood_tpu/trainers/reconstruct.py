@@ -186,7 +186,9 @@ class Reconstruct(BaseTrainer):
             if b < compiled_b:
                 images = np.take(images, np.arange(compiled_b) % b, axis=0)
             rng, sub = jax.random.split(rng)
-            t_starts, mse, perc = program(self.shard(images), sub)
+            out = program(self.shard(images), sub)
+            t_starts, mse, perc = out[:3]
+            elbo = np.asarray(out[3]) if program.score_elbo else None
             mse = np.asarray(mse)  # (K, B_global) — replicated under multihost
             perc = np.asarray(perc)
             if profiling:
@@ -201,20 +203,25 @@ class Reconstruct(BaseTrainer):
                 off = jax.process_index() * per_proc
                 mse = mse[:, off : off + b]
                 perc = perc[:, off : off + b]
+                if elbo is not None:
+                    elbo = elbo[:, off : off + b]
             else:
                 mse = mse[:, :b]
                 perc = perc[:, :b]
+                if elbo is not None:
+                    elbo = elbo[:, :b]
             for k, t_start in enumerate(t_starts):
                 for b, filename in enumerate(batch["filename"]):
-                    results.append(
-                        {
-                            "filename": _stem(filename),
-                            "type": dataset_name,
-                            "t": int(t_start),
-                            "perceptual_difference": float(perc[k, b]),
-                            "mse": float(mse[k, b]),
-                        }
-                    )
+                    row = {
+                        "filename": _stem(filename),
+                        "type": dataset_name,
+                        "t": int(t_start),
+                        "perceptual_difference": float(perc[k, b]),
+                        "mse": float(mse[k, b]),
+                    }
+                    if elbo is not None:
+                        row["elbo"] = float(elbo[k, b])
+                    results.append(row)
             t2 = time.time()
             info(
                 f"Took {t2 - t1:.2f}s for a batch size of {images.shape[0]} "

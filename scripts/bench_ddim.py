@@ -33,6 +33,8 @@ def main() -> None:
     p.add_argument("--sampler", default="ddim", choices=("plms", "ddim", "dpm"))
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--skip", type=int, default=4)
+    p.add_argument("--elbo", action="store_true",
+                   help="score_elbo=True: measures the likelihood-term overhead")
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
 
@@ -66,6 +68,7 @@ def main() -> None:
         sched=sched, model_fn=model_fn, num_inference_steps=steps,
         inference_skip_factor=skip, sampler=args.sampler,
         num_groups=2 if args.quick else args.groups,
+        score_elbo=bool(args.elbo),
     )
     K = len(prog.t_starts)
     images = jnp.asarray(
@@ -76,8 +79,10 @@ def main() -> None:
     # ReconProgram's metrics come back as (K, B) scalars — fetching them to
     # host forces real completion (DESIGN.md "Measurement gotcha")
     def run(key):
-        _, mse, _ = prog(images, key)
-        return float(np.asarray(mse).sum())
+        out = prog(images, key)
+        return float(np.asarray(out[1]).sum()) + (
+            float(np.asarray(out[3]).sum()) if args.elbo else 0.0
+        )
 
     run(jax.random.PRNGKey(0))  # compile + warm
     n = 1 if args.quick else 3
@@ -86,7 +91,7 @@ def main() -> None:
         run(jax.random.PRNGKey(i))
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({
-        "bench": f"{args.sampler}_sweep",
+        "bench": f"{args.sampler}_sweep" + ("+elbo" if args.elbo else ""),
         "steps": steps,
         "skip": skip,
         "backend": jax.default_backend(),

@@ -106,6 +106,9 @@ def main() -> None:
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="train with a weight EMA at this decay and ALSO "
                         "score with --use_ema (reported as '<sampler>+ema')")
+    parser.add_argument("--elbo", action="store_true",
+                        help="reconstruct with --score_elbo and additionally "
+                        "report the likelihood-target (elbo / mse+elbo) AUROCs")
     parser.add_argument("--workdir", default=None)
     args = parser.parse_args()
 
@@ -160,12 +163,18 @@ def main() -> None:
         rargs.eval_checkpoint = None
         rargs.sampler = sampler
         rargs.use_ema = use_ema
+        rargs.score_elbo = int(args.elbo)
         recon = Reconstruct(rargs)
         recon.reconstruct(rargs)
-        per_sampler[label + ("+ema" if use_ema else "")] = {
+        entry = {
             "easy": score_run(out_dir, "outset"),
             "hard": score_run(out_dir, "nearset"),
         }
+        if args.elbo:
+            for target in ("elbo", "mse+elbo"):
+                entry[f"easy_{target}"] = score_run(out_dir, "outset", target)
+                entry[f"hard_{target}"] = score_run(out_dir, "nearset", target)
+        per_sampler[label + ("+ema" if use_ema else "")] = entry
 
     first = args.samplers.split(",")[0]
     print(json.dumps({

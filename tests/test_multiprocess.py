@@ -18,6 +18,33 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _run_worker_pair(worker, extra_args, timeout=1500, retries=1):
+    """Launch 2 coordinator-joined workers; retry ONCE on a fresh port if any
+    worker exits nonzero. Under heavy host load (the suite shares the machine
+    with benches) jax.distributed rendezvous/heartbeats can fail spuriously;
+    a genuine code bug fails twice in a row and still surfaces with the full
+    worker output."""
+    last = None
+    for attempt in range(retries + 1):
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), coordinator, "2", str(pid),
+                 *extra_args],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for pid in range(2)
+        ]
+        outputs = [p.communicate(timeout=timeout)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return outputs
+        last = "\n".join(
+            f"--- worker {pid} (rc={p.returncode}) attempt {attempt}:\n{out}"
+            for pid, (p, out) in enumerate(zip(procs, outputs))
+        )
+    raise AssertionError(f"worker pair failed after {retries + 1} attempts:\n{last}")
+
+
 def _recon_args(root, train_csv, val_csv, in_csv):
     return dict(
         seed=2, output_dir=str(root / "output"), model_name="mp_fashionmnist",
@@ -77,20 +104,10 @@ def test_two_process_reconstruct_and_checkpoint(tmp_path):
     args_json = tmp_path / "recon_args.json"
     args_json.write_text(json.dumps(vars(args)))
     worker = Path(__file__).parent / "multiprocess_recon_worker.py"
-    coordinator = f"127.0.0.1:{_free_port()}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), coordinator, "2", str(pid),
-             str(args_json)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(2)
-    ]
-    # generous: ~190s standalone, but the suite may run under heavy host load
-    # (concurrent benches); 600s has been seen to flake there
-    outputs = [p.communicate(timeout=1500)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outputs)):
-        assert p.returncode == 0, f"recon worker {pid} failed:\n{out}"
+    # generous timeout: ~190s standalone, but the suite may run under heavy
+    # host load (concurrent benches); retried once on a fresh port
+    outputs = _run_worker_pair(worker, [str(args_json)])
+    for pid, out in enumerate(outputs):
         assert f"recon worker {pid}: OK" in out
 
     for name in ("val", "in"):
@@ -113,22 +130,8 @@ def test_two_process_reconstruct_and_checkpoint(tmp_path):
 
 def test_two_process_distributed(tmp_path):
     worker = Path(__file__).parent / "multiprocess_worker.py"
-    coordinator = f"127.0.0.1:{_free_port()}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), coordinator, "2", str(pid), str(tmp_path)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    outputs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outputs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outputs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+    outputs = _run_worker_pair(worker, [str(tmp_path)], timeout=600)
+    for pid, out in enumerate(outputs):
         assert f"worker {pid}: OK" in out
     # rank 0 merged both shards into the final CSV
     assert (tmp_path / "results_val.csv").exists()
