@@ -106,7 +106,15 @@ class ScoringService:
                 "— per-t z-score std is undefined; reconstruct a larger "
                 "validation set"
             )
-        for target in ("mse", "perceptual_difference"):
+        # the likelihood column is served too when BOTH the program emits it
+        # and the validation CSV carries it (reconstruct.py --score_elbo=1)
+        self.serve_elbo = bool(getattr(program, "score_elbo", False)) and (
+            "elbo" in val_stats.columns
+        )
+        targets = ("mse", "perceptual_difference") + (
+            ("elbo",) if self.serve_elbo else ()
+        )
+        for target in targets:
             agg = val_stats.groupby("t")[target].agg(["mean", "std"])
             self._stats[target] = {
                 int(t): (float(r["mean"]), float(r["std"]) + 1e-12)
@@ -146,15 +154,17 @@ class ScoringService:
         pad = np.take(images, np.arange(self.batch_size) % b, axis=0)
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
-            # [:3] tolerates a score_elbo-enabled program (the service
-            # z-scores mse/perceptual only — val CSVs may predate the column)
-            t_starts, mse, perc = self.program(pad, sub)[:3]
+            # [:3] tolerates a score_elbo-enabled program whose val CSV
+            # predates the elbo column (serve_elbo False)
+            prog_out = self.program(pad, sub)
+            t_starts, mse, perc = prog_out[:3]
         mse = np.asarray(mse)[:, :b]          # (K, B)
         perc = np.asarray(perc)[:, :b]
+        elbo = np.asarray(prog_out[3])[:, :b] if self.serve_elbo else None
         out = []
         for i in range(b):
             rec: Dict[str, object] = {"per_t": {}}
-            zs = {"mse": [], "perceptual_difference": []}
+            zs = {"mse": [], "perceptual_difference": [], "elbo": []}
             for k, t in enumerate(int(t) for t in t_starts):
                 m_mu, m_sd = self._stats["mse"][t]
                 p_mu, p_sd = self._stats["perceptual_difference"][t]
@@ -166,8 +176,14 @@ class ScoringService:
                     "mse": float(mse[k, i]),
                     "perceptual_difference": float(perc[k, i]),
                 }
+                if elbo is not None:
+                    e_mu, e_sd = self._stats["elbo"][t]
+                    zs["elbo"].append((float(elbo[k, i]) - e_mu) / e_sd)
+                    rec["per_t"][t]["elbo"] = float(elbo[k, i])
             rec["z_score_mse"] = float(np.mean(zs["mse"]))
             rec["z_score_perceptual"] = float(np.mean(zs["perceptual_difference"]))
+            if elbo is not None:
+                rec["z_score_elbo"] = float(np.mean(zs["elbo"]))
             out.append(rec)
         return out
 

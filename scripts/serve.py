@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--use_ema", type=int, default=0,
                    help="serve with the checkpoint's EMA weights "
                    "(ema_model_state_dict)")
+    p.add_argument("--score_elbo", type=int, default=0,
+                   help="also return z_score_elbo per image (needs a "
+                   "results_val.csv produced with reconstruct.py "
+                   "--score_elbo=1)")
     p.add_argument("--recon_groups", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=8,
                    help="compiled request batch; requests up to this size share "

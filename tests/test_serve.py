@@ -62,6 +62,33 @@ def test_score_shapes_and_fields(service, program):
         assert set(rec["per_t"]) == {int(t) for t in program.t_starts}
 
 
+def test_elbo_served_when_program_and_stats_have_it(program):
+    """A score_elbo program + an elbo column in the val stats -> z_score_elbo
+    per image; either one missing -> the field is absent (no crash)."""
+    elbo_prog = ReconProgram(
+        sched=program.sched, model_fn=program.model_fn,
+        num_inference_steps=10, inference_skip_factor=3, num_groups=2,
+        score_elbo=True,
+    )
+    stats = _val_stats(program)
+    stats["elbo"] = 0.05 + 0.001 * (stats.index % 4)
+    svc = ScoringService(elbo_prog, stats, batch_size=4, model_name="t")
+    imgs = np.random.default_rng(1).uniform(size=(2, SIZE, SIZE, 1)).astype(
+        "float32"
+    )
+    out = svc.score(imgs)
+    assert all(np.isfinite(r["z_score_elbo"]) for r in out)
+    assert all("elbo" in v for r in out for v in r["per_t"].values())
+
+    # program emits elbo but the val CSV predates the column: served without it
+    svc_nostats = ScoringService(
+        elbo_prog, _val_stats(program), batch_size=4, model_name="t"
+    )
+    out = svc_nostats.score(imgs)
+    assert all("z_score_elbo" not in r for r in out)
+    assert np.isfinite(out[0]["z_score_mse"])
+
+
 def test_oversize_batch_rejected(service):
     with pytest.raises(ValueError, match="batch"):
         service.score(np.zeros((5, SIZE, SIZE, 1), "float32"))

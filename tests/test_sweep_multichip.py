@@ -44,3 +44,48 @@ def test_sharded_sweep_matches_single_device():
     with mesh:
         out = sweep(shard_batch(mesh, x0), jnp.asarray(noise))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_recon_program_with_elbo_matches_single_device():
+    """The full ReconProgram (grouped lanes + metrics tail + the score_elbo
+    likelihood column) under a data-sharded batch must reproduce single-device
+    numerics — the elbo output has its own replication constraint path
+    (recon/sweep.py out_mesh handling)."""
+    from ddpm_ood_tpu.recon.sweep import ReconProgram
+    from ddpm_ood_tpu.diffusion.schedules import make_schedule as _ms
+
+    sched = _ms("scaled_linear_beta", 1000, 0.0015, 0.0195)
+    mesh = make_mesh()
+    x0 = np.random.default_rng(2).uniform(size=(16, 8, 8, 1)).astype(np.float32)
+    K = len(pndm_start_points(pndm_timesteps(1000, 10), 4))
+    host_noise = np.random.default_rng(3).normal(
+        size=(K, 16, 8, 8, 1)
+    ).astype(np.float32)
+
+    # deterministic: hand both programs the SAME host noise planes (__call__
+    # hands host_noise_fn the FULL (K, B, ...) shape and slices per group)
+    def noise_fn(shape, t_starts):
+        assert shape == host_noise.shape
+        return host_noise
+
+    def build(out_mesh):
+        return ReconProgram(
+            sched=sched, model_fn=jax.tree_util.Partial(fake_model),
+            num_inference_steps=10, inference_skip_factor=4, num_groups=2,
+            score_elbo=True, out_mesh=out_mesh,
+            host_noise_fn=noise_fn, latent_sample_shape=(8, 8, 1),
+        )
+
+    ref_prog = build(None)
+    t_starts, mse_ref, perc_ref, elbo_ref = ref_prog(
+        jnp.asarray(x0), jax.random.PRNGKey(0)
+    )
+
+    shard_prog = build(mesh)
+    with mesh:
+        _, mse, perc, elbo = shard_prog(
+            shard_batch(mesh, x0), jax.random.PRNGKey(0)
+        )
+    np.testing.assert_allclose(np.asarray(mse), np.asarray(mse_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(elbo), np.asarray(elbo_ref), atol=1e-5)
+    assert (np.asarray(elbo) > 0).all()
