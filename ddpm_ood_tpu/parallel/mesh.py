@@ -105,6 +105,27 @@ def initialize_multihost(
     )
 
 
+def coordination_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Rendezvous all processes via the coordination service — NOT a device
+    collective, so no Gloo/ICI communicator is touched.
+
+    Why it exists: the CPU cross-process collective backend (Gloo) has a hard
+    ~30 s key-exchange timeout when a communicator context is first
+    initialized. If one process dispatches a collective program while a peer
+    is still COMPILING its copy (compile skew easily exceeds 30 s for the big
+    sweep programs under host load), the fast process's Gloo init times out
+    and the whole job is torn down. Compiling first and meeting at this
+    barrier before the first dispatch closes that window. No-op
+    single-process."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src.distributed import global_state
+
+    if global_state.client is None:  # not under jax.distributed
+        return
+    global_state.client.wait_at_barrier(name, timeout_ms)
+
+
 def process_count() -> int:
     return jax.process_count()
 

@@ -449,7 +449,8 @@ class ReconProgram:
         offset = 0
         for gi, (ts_desc, t_starts) in enumerate(self._groups):
             key = (ts_desc.shape[0], t_starts.shape[0], images.shape)
-            if key not in self._compiled:
+            new_key = key not in self._compiled
+            if new_key:
                 self._compiled[key] = self._build(ts_desc, t_starts)
             if noise_full is not None:
                 # groups are contiguous chunks of the ascending t_starts, so
@@ -458,6 +459,21 @@ class ReconProgram:
             else:
                 rng, arg = jax.random.split(rng)
             offset += len(t_starts)
+            if new_key and self.out_mesh is not None and jax.process_count() > 1:
+                # multiprocess: compile BEFORE dispatch, then rendezvous —
+                # Gloo communicator init has a hard ~30 s window, and compile
+                # skew between processes easily exceeds it under load (see
+                # parallel/mesh.py coordination_barrier). The AOT executable
+                # replaces the jit wrapper so the barrier-protected compile is
+                # the ONLY compile.
+                from ..parallel.mesh import coordination_barrier
+
+                self._compiled[key] = self._compiled[key].lower(
+                    self.model_fn, self.encode_fn, self.decode_fn, images, arg
+                ).compile()
+                coordination_barrier(
+                    f"recon_g{gi}_" + "x".join(map(str, images.shape))
+                )
             out = self._compiled[key](
                 self.model_fn, self.encode_fn, self.decode_fn, images, arg
             )

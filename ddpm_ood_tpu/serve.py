@@ -188,6 +188,106 @@ class ScoringService:
         return out
 
 
+class BatchingScoringService:
+    """Dynamic request batching over a ScoringService.
+
+    Concurrent `score()` calls are coalesced into ONE device sweep: the first
+    arrival opens a window of `batch_window_ms`, and every request queued by
+    its close (up to the compiled batch) rides the same program invocation.
+    The sweep's cost is batch-size-invariant up to the compiled batch (the
+    tail is wrap-padded anyway), so under a load of single-image requests this
+    multiplies serving throughput by up to `batch_size` — at the price of at
+    most one window of added latency for a lone caller.
+
+    Per-image scores are identical to unbatched scoring given the same noise:
+    the sweep's metrics are independent per image (recon/sweep.py computes
+    per-(lane, image) scalars), verified in tests/test_serve.py.
+
+    Delegates everything else (stats, caps, metadata) to the wrapped service.
+    """
+
+    def __init__(self, service: ScoringService, batch_window_ms: float = 5.0):
+        import collections
+        import time as _time
+
+        self.inner = service
+        self.batch_window_ms = float(batch_window_ms)
+        self._time = _time
+        self._queue = collections.deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def __getattr__(self, name):  # model_name, batch_size, program, caps, ...
+        return getattr(self.inner, name)
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._worker.join(timeout=10)
+
+    def score(self, images: np.ndarray) -> list:
+        images = np.asarray(images, np.float32)
+        b = images.shape[0]
+        if b == 0:
+            return []
+        if b > self.inner.batch_size:
+            raise ValueError(
+                f"batch {b} > service batch_size {self.inner.batch_size}"
+            )
+        req = {"images": images, "event": threading.Event(),
+               "result": None, "error": None}
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._queue.append(req)
+            self._cv.notify()
+        req["event"].wait()
+        if req["error"] is not None:
+            raise req["error"]
+        return req["result"]
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._queue:
+                    return
+                batch = [self._queue.popleft()]
+                total = batch[0]["images"].shape[0]
+                # window opens at the FIRST dequeued request
+                deadline = self._time.monotonic() + self.batch_window_ms / 1e3
+                while total < self.inner.batch_size:
+                    if not self._queue:
+                        remaining = deadline - self._time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._cv.wait(remaining)
+                        continue  # re-check queue/deadline after any wake
+                    n = self._queue[0]["images"].shape[0]
+                    if total + n > self.inner.batch_size:
+                        break  # leave for the next sweep
+                    batch.append(self._queue.popleft())
+                    total += n
+            try:
+                stacked = np.concatenate([r["images"] for r in batch], axis=0)
+                results = self.inner.score(stacked)
+                off = 0
+                for r in batch:
+                    n = r["images"].shape[0]
+                    r["result"] = results[off : off + n]
+                    off += n
+            except Exception as e:  # propagate to every waiting caller
+                for r in batch:
+                    r["error"] = e
+            finally:
+                for r in batch:
+                    r["event"].set()
+
+
 def make_handler(service: ScoringService):
     class OODRequestHandler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet by default

@@ -34,6 +34,10 @@ import pandas as pd
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="also measure dynamic batching: N concurrent\n"
+                   "single-image clients against a\n"
+                   "BatchingScoringService with this window")
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
 
@@ -45,7 +49,11 @@ def main() -> None:
     from ddpm_ood_tpu.diffusion.schedules import make_schedule
     from ddpm_ood_tpu.models.unet import make_unet
     from ddpm_ood_tpu.recon.sweep import ReconProgram
-    from ddpm_ood_tpu.serve import ScoringService, make_handler
+    from ddpm_ood_tpu.serve import (
+        BatchingScoringService,
+        ScoringService,
+        make_handler,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -78,6 +86,8 @@ def main() -> None:
     service = ScoringService(
         prog, pd.DataFrame(rows), batch_size=batch, model_name="bench"
     )
+    if args.batch_window_ms > 0:
+        service = BatchingScoringService(service, args.batch_window_ms)
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
     port = server.server_port
@@ -101,15 +111,38 @@ def main() -> None:
     post(batch)  # compile + warm through the full HTTP path
     full = min(post(batch) for _ in range(3))
     single = min(post(1) for _ in range(3))  # wrap-padded to the compiled batch
-    print(json.dumps({
+    out = {
         "bench": "serve_http",
         "backend": jax.default_backend(),
         "model": model,
         "batch": batch,
+        "batch_window_ms": args.batch_window_ms,
         "full_batch_latency_s": round(full, 3),
         "single_image_latency_s": round(single, 3),
         "sustained_imgs_per_s": round(batch / full, 2),
-    }))
+    }
+    if args.batch_window_ms > 0:
+        # the dynamic-batching story: `batch` concurrent single-image clients,
+        # each POSTing independently — coalesced into (ideally) one sweep
+        def flood() -> float:
+            lat = [None] * batch
+            def one(i):
+                lat[i] = post(1)
+            threads = [threading.Thread(target=one, args=(i,))
+                       for i in range(batch)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            return wall
+        flood()  # warm the batched path
+        wall = min(flood() for _ in range(3))
+        out["concurrent_single_image_clients"] = batch
+        out["flood_wall_s"] = round(wall, 3)
+        out["flood_reqs_per_s"] = round(batch / wall, 2)
+    print(json.dumps(out))
     server.shutdown()
 
 

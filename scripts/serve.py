@@ -64,6 +64,11 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=8,
                    help="compiled request batch; requests up to this size share "
                    "one compile")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="dynamic request batching: coalesce concurrent "
+                   "requests arriving within this window into ONE sweep "
+                   "(up to batch_size images) — up to batch_size x serving "
+                   "throughput under small-request load. 0 disables")
     p.add_argument("--results_val", default=None,
                    help="validation stats CSV (default <run>/ood/results_val.csv)")
     p.add_argument("--host", default="0.0.0.0")
@@ -99,6 +104,10 @@ def main(argv=None) -> None:
     service = ScoringService.from_val_csv(
         program, val_csv, args.batch_size, model_name=args.model_name
     )
+    if args.batch_window_ms > 0:
+        from ddpm_ood_tpu.serve import BatchingScoringService
+
+        service = BatchingScoringService(service, args.batch_window_ms)
     serve_forever(service, args.host, args.port)
 
 

@@ -15,7 +15,11 @@ import pytest
 from ddpm_ood_tpu.diffusion.schedules import make_schedule
 from ddpm_ood_tpu.models.unet import make_unet
 from ddpm_ood_tpu.recon.sweep import ReconProgram
-from ddpm_ood_tpu.serve import ScoringService, make_handler
+from ddpm_ood_tpu.serve import (
+    BatchingScoringService,
+    ScoringService,
+    make_handler,
+)
 
 SIZE = 16
 
@@ -192,3 +196,103 @@ def test_http_round_trip(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+# ---------------------------------------------------------- dynamic batching --
+def _deterministic_program(program):
+    """Same tiny program but with zero host noise: per-image scores become a
+    pure function of the image, independent of batching / wrap-padding."""
+    return ReconProgram(
+        sched=program.sched, model_fn=program.model_fn,
+        num_inference_steps=10, inference_skip_factor=3, num_groups=2,
+        host_noise_fn=lambda shape, t_starts: np.zeros(shape, np.float32),
+        latent_sample_shape=(SIZE, SIZE, 1),
+    )
+
+
+def test_batching_coalesces_concurrent_requests(program):
+    inner = ScoringService(_deterministic_program(program), _val_stats(program),
+                           batch_size=4, model_name="t")
+    calls = []
+    orig = inner.score
+    inner.score = lambda imgs: (calls.append(imgs.shape[0]), orig(imgs))[1]
+    svc = BatchingScoringService(inner, batch_window_ms=500.0)
+    try:
+        imgs = np.random.default_rng(2).uniform(
+            size=(4, SIZE, SIZE, 1)).astype("float32")
+        results = [None] * 4
+        errors = []
+
+        def submit(i):
+            try:
+                results[i] = svc.score(imgs[i : i + 1])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=submit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        assert all(r is not None and len(r) == 1 for r in results)
+        # 4 one-image requests inside a 500 ms window: coalesced, not 4 sweeps
+        assert len(calls) <= 2, calls
+        assert sum(calls) == 4
+
+        # scores identical to solo scoring (deterministic zero noise)
+        solo = orig(imgs[:1])
+        assert results[0][0]["z_score_mse"] == pytest.approx(
+            solo[0]["z_score_mse"], rel=1e-6
+        )
+    finally:
+        svc.close()
+
+
+def test_batching_rejects_oversize_and_propagates_errors(program):
+    inner = ScoringService(_deterministic_program(program), _val_stats(program),
+                           batch_size=4, model_name="t")
+    svc = BatchingScoringService(inner, batch_window_ms=10.0)
+    try:
+        with pytest.raises(ValueError, match="batch"):
+            svc.score(np.zeros((5, SIZE, SIZE, 1), "float32"))
+        assert svc.score(np.zeros((0, SIZE, SIZE, 1), "float32")) == []
+
+        # inner failure must reach every waiting caller, not hang them
+        def boom(imgs):
+            raise RuntimeError("device fell over")
+
+        inner.score = boom
+        with pytest.raises(RuntimeError, match="device fell over"):
+            svc.score(np.zeros((1, SIZE, SIZE, 1), "float32"))
+    finally:
+        svc.close()
+
+
+def test_batching_spills_requests_beyond_capacity(program):
+    """5 x 1-image requests at batch_size 4: the 5th rides a SECOND sweep and
+    still completes."""
+    inner = ScoringService(_deterministic_program(program), _val_stats(program),
+                           batch_size=4, model_name="t")
+    calls = []
+    orig = inner.score
+    inner.score = lambda imgs: (calls.append(imgs.shape[0]), orig(imgs))[1]
+    svc = BatchingScoringService(inner, batch_window_ms=300.0)
+    try:
+        imgs = np.random.default_rng(3).uniform(
+            size=(5, SIZE, SIZE, 1)).astype("float32")
+        results = [None] * 5
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(i, svc.score(imgs[i:i+1]))
+            )
+            for i in range(5)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is not None and len(r) == 1 for r in results)
+        assert sum(calls) == 5
+    finally:
+        svc.close()
