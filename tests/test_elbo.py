@@ -90,6 +90,33 @@ def test_recon_program_emits_elbo():
     np.testing.assert_array_equal(np.asarray(base[2]), np.asarray(perc))
 
 
+def test_elbo_in_latent_space_with_pad():
+    """LDM shape: elbo terms are computed on the ENCODED (and latent-padded)
+    tensor the UNet consumes — the latent-diffusion likelihood — and the
+    reconstruction metrics stay bit-identical to the elbo-off program."""
+    enc = jax.tree_util.Partial(lambda x: x[:, ::2, ::2, :])     # 8x8 -> 4x4
+    dec = jax.tree_util.Partial(
+        lambda z: jnp.repeat(jnp.repeat(z, 2, axis=1), 2, axis=2)
+    )
+    kw = dict(
+        sched=SCHED, model_fn=jax.tree_util.Partial(_toy_model_fn),
+        num_inference_steps=10, inference_skip_factor=3, num_groups=2,
+        encode_fn=enc, decode_fn=dec, latent_pad=(1, 1, 1, 1),  # 4x4 -> 6x6
+        b_scale=1.5,
+    )
+    images = jnp.asarray(
+        np.random.default_rng(7).uniform(size=(2, 8, 8, 1)).astype(np.float32)
+    )
+    base = ReconProgram(**kw)(images, jax.random.PRNGKey(3))
+    t_starts, mse, perc, elbo = ReconProgram(score_elbo=True, **kw)(
+        images, jax.random.PRNGKey(3)
+    )
+    assert elbo.shape == (len(t_starts), 2)
+    assert np.isfinite(np.asarray(elbo)).all() and (np.asarray(elbo) > 0).all()
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(mse))
+    np.testing.assert_array_equal(np.asarray(base[2]), np.asarray(perc))
+
+
 def test_plms_ref_rejects_score_elbo():
     with pytest.raises(ValueError, match="plms_ref"):
         ReconProgram(
