@@ -33,6 +33,10 @@ def main() -> None:
     p.add_argument("--sampler", default="ddim", choices=("plms", "ddim", "dpm"))
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--skip", type=int, default=4)
+    p.add_argument("--shape", type=int, nargs="+", default=None,
+                   help="sample shape *spatial C (default 32 32 1; e.g. "
+                   "'20 20 16 128' for the 3D LDM latent)")
+    p.add_argument("--model", default=None, help="tiny/small/big")
     p.add_argument("--elbo", action="store_true",
                    help="score_elbo=True: measures the likelihood-term overhead")
     p.add_argument("--quick", action="store_true")
@@ -52,12 +56,13 @@ def main() -> None:
     batch = 4 if args.quick else args.batch
     steps = 10 if args.quick else args.steps
     skip = 3 if args.quick else args.skip
-    model = "tiny" if args.quick else "small"
-    size = 32
+    model = args.model or ("tiny" if args.quick else "small")
+    shape = tuple(args.shape or (32, 32, 1))  # (*spatial, C)
+    spatial_dims, channels = len(shape) - 1, shape[-1]
 
-    unet = make_unet(model, 2, 1, 1, dtype=dtype)
+    unet = make_unet(model, spatial_dims, channels, channels, dtype=dtype)
     params = unet.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1)),
+        jax.random.PRNGKey(0), jnp.zeros((1,) + shape),
         jnp.zeros((1,), jnp.int32),
     )["params"]
     model_fn = jax.tree_util.Partial(
@@ -72,7 +77,7 @@ def main() -> None:
     )
     K = len(prog.t_starts)
     images = jnp.asarray(
-        np.random.default_rng(1).uniform(size=(batch, size, size, 1))
+        np.random.default_rng(1).uniform(size=(batch,) + shape)
         .astype(np.float32)
     )
 
@@ -96,6 +101,7 @@ def main() -> None:
         "skip": skip,
         "backend": jax.default_backend(),
         "batch": batch,
+        "shape": list(shape),
         "lanes": K,
         "groups": args.groups,
         "recons_per_s": round(K * batch / dt, 1),
