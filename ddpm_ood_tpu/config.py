@@ -283,6 +283,14 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "instead of the raw training weights. Framework extension.",
     )
     parser.add_argument(
+        "--quantize", default="none", choices=("none", "int8"),
+        help="Framework extension: post-training int8 quantization of the "
+        "UNet block convolutions for the scoring sweep (s8 x s8 -> s32 on "
+        "the MXU, 2x bf16 peak on v5e; ops/quant.py). Same checkpoint, no "
+        "calibration; validate quality via scripts/quality_check.py "
+        "--quantize int8.",
+    )
+    parser.add_argument(
         "--recon_groups", type=int, default=8,
         help="Lane groups in the batched sweep (framework extension): more "
         "groups = less masked-lane waste but one compile per group. Default "

@@ -64,19 +64,68 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) ->
     return emb
 
 
+class QuantConv(nn.Module):
+    """Drop-in int8 replacement for the nn.Conv call sites in this file.
+
+    The param tree ({kernel, bias}, same shapes/layout/init as nn.Conv) is
+    bit-identical to nn.Conv's, so ANY checkpoint trained with the standard
+    model loads into the quantized one unchanged — post-training quantization
+    with zero calibration (ops/quant.py). Weights are re-quantized per call
+    from the traced f32 params (O(params) work, negligible next to the conv)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | None = None
+    padding: str | Sequence[tuple] = "SAME"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.quant import qconv
+
+        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), kshape, jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return qconv(x, kernel, bias, self.strides, self.padding).astype(self.dtype)
+
+
+class QuantDense(nn.Module):
+    """int8 counterpart of nn.Dense (same {kernel, bias} param tree); used for
+    the attention projections when quant="int8" — the einsum attention itself
+    stays in `dtype` (tiny sequence lengths, negligible FLOP share)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.quant import qdot
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return qdot(x, kernel, bias).astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     norm_num_groups: int = 32
     dtype: Dtype = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         spatial = x.ndim - 2
         in_ch = x.shape[-1]
+        Conv = QuantConv if self.quant == "int8" else nn.Conv
         h = FusedGroupNormAct(
             self.norm_num_groups, act="silu", name="norm1"
         )(x).astype(self.dtype)
-        h = nn.Conv(
+        h = Conv(
             self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv1"
         )(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
@@ -86,11 +135,11 @@ class ResnetBlock(nn.Module):
         h = FusedGroupNormAct(
             self.norm_num_groups, act="silu", name="norm2"
         )(h).astype(self.dtype)
-        h = nn.Conv(
+        h = Conv(
             self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv2"
         )(h)
         if in_ch != self.out_channels:
-            x = nn.Conv(
+            x = Conv(
                 self.out_channels, (1,) * spatial, dtype=self.dtype, name="skip_connection"
             )(x)
         return (x + h).astype(self.dtype)
@@ -100,6 +149,7 @@ class AttentionBlock(nn.Module):
     num_head_channels: int = 256
     norm_num_groups: int = 32
     dtype: Dtype = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -108,12 +158,13 @@ class AttentionBlock(nn.Module):
         ch = x.shape[-1]
         num_heads = max(ch // self.num_head_channels, 1)
         head_dim = ch // num_heads
+        Dense = QuantDense if self.quant == "int8" else nn.Dense
 
         h = FusedGroupNormAct(self.norm_num_groups, name="norm")(x).astype(self.dtype)
         h = h.reshape(batch, -1, ch)  # (B, N, C)
-        q = nn.Dense(ch, dtype=self.dtype, name="to_q")(h)
-        k = nn.Dense(ch, dtype=self.dtype, name="to_k")(h)
-        v = nn.Dense(ch, dtype=self.dtype, name="to_v")(h)
+        q = Dense(ch, dtype=self.dtype, name="to_q")(h)
+        k = Dense(ch, dtype=self.dtype, name="to_k")(h)
+        v = Dense(ch, dtype=self.dtype, name="to_v")(h)
 
         def split(a):
             return a.reshape(batch, -1, num_heads, head_dim)
@@ -131,13 +182,14 @@ class AttentionBlock(nn.Module):
             scale,
         ).transpose(0, 2, 1, 3)
         out = out.astype(self.dtype).reshape(batch, -1, ch)
-        out = nn.Dense(ch, dtype=self.dtype, name="proj_attn")(out)
+        out = Dense(ch, dtype=self.dtype, name="proj_attn")(out)
         return x + out.reshape((batch,) + spatial_shape + (ch,))
 
 
 class Downsample(nn.Module):
     out_channels: int
     dtype: Dtype = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -147,7 +199,8 @@ class Downsample(nn.Module):
         # torch Conv(k=3, s=2, padding=1) — verified numerically; matching it
         # makes converted reference checkpoints (scripts/
         # convert_reference_checkpoint.py) bit-compatible
-        return nn.Conv(
+        Conv = QuantConv if self.quant == "int8" else nn.Conv
+        return Conv(
             self.out_channels,
             (3,) * spatial,
             strides=(2,) * spatial,
@@ -160,6 +213,7 @@ class Downsample(nn.Module):
 class Upsample(nn.Module):
     out_channels: int
     dtype: Dtype = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -182,7 +236,8 @@ class Upsample(nn.Module):
         x = tiled.reshape(
             (shape[0],) + tuple(2 * s for s in shape[1:-1]) + (shape[-1],)
         )
-        return nn.Conv(
+        Conv = QuantConv if self.quant == "int8" else nn.Conv
+        return Conv(
             self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv"
         )(x)
 
@@ -203,6 +258,13 @@ class DiffusionModelUNet(nn.Module):
     # HBM, the standard TPU recipe for the "big" 3D configs whose activations
     # would not otherwise fit (SURVEY.md §7 hard parts: 3D at [160,160,128])
     remat: bool = False
+    # "int8": run the res/up/down-block convolutions s8 x s8 -> s32 on the MXU
+    # (2x bf16 peak on v5e) with dynamic activation scales — post-training
+    # quantization over the SAME param tree (QuantConv/ops/quant.py), intended
+    # for the scoring sweep (reconstruct/serve --quantize=int8). conv_in,
+    # conv_out, the time MLP and the attention projections stay bf16: they are
+    # a tiny FLOP share and anchor the residual stream's precision.
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -233,6 +295,7 @@ class DiffusionModelUNet(nn.Module):
                     chs[level],
                     self.norm_num_groups,
                     self.dtype,
+                    quant=self.quant,
                     name=f"down_{level}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
@@ -240,18 +303,23 @@ class DiffusionModelUNet(nn.Module):
                         self.num_head_channels,
                         self.norm_num_groups,
                         self.dtype,
+                        quant=self.quant,
                         name=f"down_{level}_attn_{block}",
                     )(h)
                 skips.append(h)
             if level != n_levels - 1:
-                h = Downsample(chs[level], self.dtype, name=f"down_{level}_downsample")(h)
+                h = Downsample(chs[level], self.dtype, quant=self.quant,
+                               name=f"down_{level}_downsample")(h)
                 skips.append(h)
 
-        h = Res(chs[-1], self.norm_num_groups, self.dtype, name="mid_res_0")(h, temb)
+        h = Res(chs[-1], self.norm_num_groups, self.dtype, quant=self.quant,
+                name="mid_res_0")(h, temb)
         h = Attn(
-            self.num_head_channels, self.norm_num_groups, self.dtype, name="mid_attn"
+            self.num_head_channels, self.norm_num_groups, self.dtype,
+            quant=self.quant, name="mid_attn"
         )(h)
-        h = Res(chs[-1], self.norm_num_groups, self.dtype, name="mid_res_1")(h, temb)
+        h = Res(chs[-1], self.norm_num_groups, self.dtype, quant=self.quant,
+                name="mid_res_1")(h, temb)
 
         for i, level in enumerate(reversed(range(n_levels))):
             for block in range(self.num_res_blocks + 1):
@@ -260,6 +328,7 @@ class DiffusionModelUNet(nn.Module):
                     chs[level],
                     self.norm_num_groups,
                     self.dtype,
+                    quant=self.quant,
                     name=f"up_{i}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
@@ -267,10 +336,12 @@ class DiffusionModelUNet(nn.Module):
                         self.num_head_channels,
                         self.norm_num_groups,
                         self.dtype,
+                        quant=self.quant,
                         name=f"up_{i}_attn_{block}",
                     )(h)
             if level != 0:
-                h = Upsample(chs[level], self.dtype, name=f"up_{i}_upsample")(h)
+                h = Upsample(chs[level], self.dtype, quant=self.quant,
+                             name=f"up_{i}_upsample")(h)
 
         h = FusedGroupNormAct(
             self.norm_num_groups, act="silu", name="norm_out"
@@ -293,12 +364,15 @@ def make_unet(
     out_channels: int,
     dtype: Dtype = jnp.float32,
     remat: bool = False,
+    quant: str | None = None,
 ) -> DiffusionModelUNet:
     """"small"/"big" presets matching the reference (base.py:65-88).
 
     `remat=True` rematerializes res/attention blocks in the backward pass —
     reachable from the CLIs via `--remat` (the knob for the big-3D activation
-    regime, e.g. pixel-space [160,160,128] volumes)."""
+    regime, e.g. pixel-space [160,160,128] volumes). `quant="int8"` runs the
+    block convolutions int8-on-MXU over the same param tree — reachable from
+    reconstruct/serve via `--quantize=int8` (scoring-time PTQ; ops/quant.py)."""
     if model_type == "small":
         return DiffusionModelUNet(
             spatial_dims=spatial_dims,
@@ -310,6 +384,7 @@ def make_unet(
             num_head_channels=256,
             dtype=dtype,
             remat=remat,
+            quant=quant,
         )
     if model_type == "tiny":
         # framework extension (not in the reference): a small-geometry preset for
@@ -325,6 +400,7 @@ def make_unet(
             norm_num_groups=8,
             dtype=dtype,
             remat=remat,
+            quant=quant,
         )
     if model_type == "big":
         return DiffusionModelUNet(
@@ -337,6 +413,7 @@ def make_unet(
             num_head_channels=256,
             dtype=dtype,
             remat=remat,
+            quant=quant,
         )
     raise ValueError(f"Do not recognise model type {model_type}")
 

@@ -105,6 +105,9 @@ class BaseTrainer:
         self.ddpm_channels = ddpm_channels
 
         # -- UNet ------------------------------------------------------------------
+        # --quantize=int8 (reconstruct/serve extension): scoring-time PTQ over
+        # the same param tree; trainers never set it, so training is unaffected
+        quantize = getattr(args, "quantize", "none")
         self.unet = make_unet(
             args.model_type,
             self.spatial_dimension,
@@ -112,7 +115,10 @@ class BaseTrainer:
             ddpm_channels,
             dtype=self.dtype,
             remat=bool(getattr(args, "remat", 0)),
+            quant=None if quantize in (None, "none") else str(quantize),
         )
+        if quantize not in (None, "none"):
+            info(f"Quantized scoring enabled: {quantize} block convolutions")
 
         # -- schedule --------------------------------------------------------------
         self.prediction_type = args.prediction_type

@@ -39,6 +39,9 @@ def main() -> None:
     p.add_argument("--model", default=None, help="tiny/small/big")
     p.add_argument("--elbo", action="store_true",
                    help="score_elbo=True: measures the likelihood-term overhead")
+    p.add_argument("--quantize", default="none", choices=("none", "int8"),
+                   help="int8 PTQ of the UNet block convs (ops/quant.py): "
+                   "2x MXU peak on v5e for the conv-bound sweep")
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
 
@@ -60,7 +63,10 @@ def main() -> None:
     shape = tuple(args.shape or (32, 32, 1))  # (*spatial, C)
     spatial_dims, channels = len(shape) - 1, shape[-1]
 
-    unet = make_unet(model, spatial_dims, channels, channels, dtype=dtype)
+    unet = make_unet(
+        model, spatial_dims, channels, channels, dtype=dtype,
+        quant=None if args.quantize == "none" else args.quantize,
+    )
     params = unet.init(
         jax.random.PRNGKey(0), jnp.zeros((1,) + shape),
         jnp.zeros((1,), jnp.int32),
@@ -96,7 +102,9 @@ def main() -> None:
         run(jax.random.PRNGKey(i))
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({
-        "bench": f"{args.sampler}_sweep" + ("+elbo" if args.elbo else ""),
+        "bench": f"{args.sampler}_sweep"
+        + ("+elbo" if args.elbo else "")
+        + (f"+{args.quantize}" if args.quantize != "none" else ""),
         "steps": steps,
         "skip": skip,
         "backend": jax.default_backend(),

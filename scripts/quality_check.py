@@ -106,6 +106,11 @@ def main() -> None:
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="train with a weight EMA at this decay and ALSO "
                         "score with --use_ema (reported as '<sampler>+ema')")
+    parser.add_argument("--quantize", default="none", choices=("none", "int8"),
+                        help="ALSO score the first sampler with int8 PTQ "
+                        "(reconstruct --quantize=int8), reported as "
+                        "'<sampler>+int8' — side-by-side quality check of "
+                        "the quantized scoring path")
     parser.add_argument("--elbo", action="store_true",
                         help="reconstruct with --score_elbo and additionally "
                         "report the likelihood-target (elbo / mse+elbo) AUROCs")
@@ -146,11 +151,15 @@ def main() -> None:
         return token, args.steps, args.skip, token
 
     out_dir = Path(ns.output_dir) / ns.model_name / "ood"
-    variants = [parse_token(t) + (0,) for t in args.samplers.split(",")]
+    variants = [parse_token(t) + (0, "none") for t in args.samplers.split(",")]
     if args.ema_decay > 0:
-        variants.append(parse_token(args.samplers.split(",")[0]) + (1,))
+        variants.append(parse_token(args.samplers.split(",")[0]) + (1, "none"))
+    if args.quantize != "none":
+        variants.append(
+            parse_token(args.samplers.split(",")[0]) + (0, args.quantize)
+        )
     per_sampler = {}
-    for sampler, steps, skip, label, use_ema in variants:
+    for sampler, steps, skip, label, use_ema, quantize in variants:
         rargs = argparse.Namespace(**vars(ns))
         rargs.in_ids = in_csv
         rargs.out_ids = f"{out_csv},{near_csv}"
@@ -163,6 +172,7 @@ def main() -> None:
         rargs.eval_checkpoint = None
         rargs.sampler = sampler
         rargs.use_ema = use_ema
+        rargs.quantize = quantize
         rargs.score_elbo = int(args.elbo)
         recon = Reconstruct(rargs)
         recon.reconstruct(rargs)
@@ -174,7 +184,10 @@ def main() -> None:
             for target in ("elbo", "mse+elbo"):
                 entry[f"easy_{target}"] = score_run(out_dir, "outset", target)
                 entry[f"hard_{target}"] = score_run(out_dir, "nearset", target)
-        per_sampler[label + ("+ema" if use_ema else "")] = entry
+        suffix = ("+ema" if use_ema else "") + (
+            f"+{quantize}" if quantize != "none" else ""
+        )
+        per_sampler[label + suffix] = entry
 
     first = args.samplers.split(",")[0]
     print(json.dumps({

@@ -60,6 +60,9 @@ def parse_args(argv=None):
                    help="also return z_score_elbo per image (needs a "
                    "results_val.csv produced with reconstruct.py "
                    "--score_elbo=1)")
+    p.add_argument("--quantize", default="none", choices=("none", "int8"),
+                   help="int8 PTQ of the scoring UNet's block convs "
+                   "(reconstruct.py --quantize; ops/quant.py)")
     p.add_argument("--recon_groups", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=8,
                    help="compiled request batch; requests up to this size share "
