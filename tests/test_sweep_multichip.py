@@ -89,3 +89,40 @@ def test_sharded_recon_program_with_elbo_matches_single_device():
     np.testing.assert_allclose(np.asarray(mse), np.asarray(mse_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(elbo), np.asarray(elbo_ref), atol=1e-5)
     assert (np.asarray(elbo) > 0).all()
+
+
+def test_sharded_quantized_sweep_matches_single_device():
+    """--quantize=int8 under GSPMD: the dynamic activation absmax is a global
+    reduce over the sharded mega-batch — GSPMD must insert the collective and
+    reproduce single-device quantization decisions exactly."""
+    from ddpm_ood_tpu.models.unet import make_unet
+    from ddpm_ood_tpu.recon.sweep import ReconProgram
+
+    sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+    mesh = make_mesh()
+    unet = make_unet("tiny", 2, 1, 1, quant="int8")
+    x0 = np.random.default_rng(4).uniform(size=(16, 16, 16, 1)).astype(np.float32)
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.asarray(x0[:1]), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape) for k, l in zip(keys, leaves)],
+    )
+    model_fn = jax.tree_util.Partial(
+        lambda p, x, t: unet.apply({"params": p}, x, t), params
+    )
+
+    def build(out_mesh):
+        return ReconProgram(
+            sched=sched, model_fn=model_fn, num_inference_steps=10,
+            inference_skip_factor=4, num_groups=2, out_mesh=out_mesh,
+        )
+
+    _, mse_ref, _ = build(None)(jnp.asarray(x0), jax.random.PRNGKey(0))
+    with mesh:
+        _, mse, _ = build(mesh)(shard_batch(mesh, x0), jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(mse)).all()
+    np.testing.assert_allclose(np.asarray(mse), np.asarray(mse_ref), atol=1e-5)
