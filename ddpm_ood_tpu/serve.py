@@ -133,6 +133,11 @@ class ScoringService:
         # 64 MiB/image, plus npy header slack — anything larger cannot be a
         # legitimate request and must not be buffered into host memory
         self.max_body_bytes = self.batch_size * 64 * 1024 * 1024 + 1024 * 1024
+        # ops counters, served at GET /statz (sweeps/images here; request
+        # count is tallied at the HTTP layer so batched coalescing is visible)
+        self.stats: Dict[str, float] = {
+            "requests": 0, "images": 0, "sweeps": 0, "device_seconds": 0.0,
+        }
 
     @classmethod
     def from_val_csv(cls, program, val_csv: str | Path, batch_size: int,
@@ -153,11 +158,17 @@ class ScoringService:
             raise ValueError(f"batch {b} > service batch_size {self.batch_size}")
         pad = np.take(images, np.arange(self.batch_size) % b, axis=0)
         with self._lock:
+            import time as _time
+
+            t0 = _time.perf_counter()
             self._rng, sub = jax.random.split(self._rng)
             # [:3] tolerates a score_elbo-enabled program whose val CSV
             # predates the elbo column (serve_elbo False)
             prog_out = self.program(pad, sub)
             t_starts, mse, perc = prog_out[:3]
+            self.stats["sweeps"] += 1
+            self.stats["images"] += b
+            self.stats["device_seconds"] += _time.perf_counter() - t0
         mse = np.asarray(mse)[:, :b]          # (K, B)
         perc = np.asarray(perc)[:, :b]
         elbo = np.asarray(prog_out[3])[:, :b] if self.serve_elbo else None
@@ -309,6 +320,14 @@ def make_handler(service: ScoringService):
                     "batch_size": service.batch_size,
                     "t_starts": [int(t) for t in service.program.t_starts],
                 })
+            elif self.path == "/statz":
+                s = dict(service.stats)
+                sweeps = max(int(s["sweeps"]), 1)
+                s["mean_sweep_seconds"] = s["device_seconds"] / sweeps
+                s["coalescing_ratio"] = (
+                    s["requests"] / sweeps if s["requests"] else 0.0
+                )
+                self._json(200, s)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -316,6 +335,7 @@ def make_handler(service: ScoringService):
             if self.path != "/score":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
+            service.stats["requests"] += 1
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 if n > service.max_body_bytes:

@@ -193,6 +193,14 @@ def test_http_round_trip(service):
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
         assert e.value.code == 404
+
+        # ops counters: the one successful POST above scored 2 images in 1 sweep
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as r:
+            stats = json.loads(r.read())
+        assert stats["sweeps"] >= 1 and stats["images"] >= 2
+        assert stats["requests"] >= 1
+        assert stats["device_seconds"] > 0
+        assert stats["mean_sweep_seconds"] > 0
     finally:
         server.shutdown()
         server.server_close()
