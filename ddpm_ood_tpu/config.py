@@ -81,6 +81,14 @@ def parse_args_train_ddpm(argv=None) -> argparse.Namespace:
         "checkpointed as ema_model_state_dict; score with it via "
         "reconstruct.py --use_ema 1.",
     )
+    parser.add_argument(
+        "--grad_accum_steps", type=int, default=1,
+        help="Accumulate gradients over this many equal microbatches inside "
+        "the jitted train step (framework extension; lax.scan, one microbatch's "
+        "activations live at a time). Numerics match the full batch; batch_size "
+        "must be divisible by it. Lets one chip run the reference's global "
+        "batch when activations exceed HBM (composable with --remat).",
+    )
     parser.add_argument("--n_epochs", type=int, default=300, help="Number of epochs to train.")
     parser.add_argument(
         "--eval_freq", type=int, default=10, help="Epochs between evaluations."
@@ -153,6 +161,15 @@ def parse_args_train_vqvae(argv=None) -> argparse.Namespace:
         help="Rematerialize VQ-VAE residual units in the backward pass "
         "(framework extension): cuts activation memory for the production 3D "
         "pixel-space config (image_roi [160,160,128]); numerics unchanged.",
+    )
+    parser.add_argument(
+        "--grad_accum_steps", type=int, default=1,
+        help="Accumulate GENERATOR gradients over this many equal microbatches "
+        "inside the jitted G step (framework extension; lax.scan). Gradients, "
+        "metrics, and the EMA codebook update are exact vs the full batch; the "
+        "activation-light D step keeps the full batch. batch_size must be "
+        "divisible by it. Composable with --remat for the production 3D "
+        "pixel-space config.",
     )
     parser.add_argument("--batch_size", type=int, default=4, help="Training batch size.")
     parser.add_argument("--n_epochs", type=int, default=300, help="Number of epochs to train.")

@@ -70,6 +70,14 @@ class DDPMTrainStep:
     latent_pad: Optional[Tuple[int, ...]] = None
     external_noise: bool = False  # True: caller supplies noise (simplex path)
     ema_decay: float = 0.0  # > 0: update state.ema_params each step (extension)
+    # > 1: accumulate gradients over grad_accum equal microbatches via lax.scan
+    # inside the SAME jitted step (framework extension; the reference has no
+    # accumulation). One UNet fwd/bwd's activations are live at a time, cutting
+    # activation memory ~grad_accum-fold while the Adam update and loss remain
+    # bit-comparable to the full batch (mean of equal-microbatch means). Batch
+    # shapes not divisible by grad_accum (ragged loader tails) fall back to the
+    # unaccumulated path at trace time.
+    grad_accum: int = 1
 
     def _prepare(self, images: jnp.ndarray, encode_fn) -> jnp.ndarray:
         x = images
@@ -86,10 +94,37 @@ class DDPMTrainStep:
         pred = state.apply_fn({"params": params}, x_t, t)
         return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
 
+    def _grads(self, state, x0, noise, t):
+        k = self.grad_accum
+        if k <= 1 or x0.shape[0] % k != 0:
+            return jax.value_and_grad(
+                lambda p: self._loss(state, p, x0, noise, t)
+            )(state.params)
+
+        m = x0.shape[0] // k
+        split = lambda a: a.reshape((k, m) + a.shape[1:])
+
+        def micro(carry, xs):
+            g_sum, l_sum = carry
+            x0_i, noise_i, t_i = xs
+            loss_i, g_i = jax.value_and_grad(
+                lambda p: self._loss(state, p, x0_i, noise_i, t_i)
+            )(state.params)
+            return (
+                jax.tree_util.tree_map(jnp.add, g_sum, g_i),
+                l_sum + loss_i,
+            ), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (g_sum, l_sum), _ = jax.lax.scan(
+            micro,
+            (zeros, jnp.zeros((), jnp.float32)),
+            (split(x0), split(noise), split(t)),
+        )
+        return l_sum / k, jax.tree_util.tree_map(lambda g: g / k, g_sum)
+
     def _update(self, state, x0, noise, t):
-        loss, grads = jax.value_and_grad(
-            lambda p: self._loss(state, p, x0, noise, t)
-        )(state.params)
+        loss, grads = self._grads(state, x0, noise, t)
         new_state = state.apply_gradients(grads=grads)
         if self.ema_decay > 0.0:
             d = self.ema_decay

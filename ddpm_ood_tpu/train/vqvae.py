@@ -70,48 +70,130 @@ class VQVAETrainSteps:
     spatial_dims: int = 2
     perceptual_weight: float = 0.001
     perceptual_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None
+    # > 1: accumulate generator gradients over grad_accum equal microbatches
+    # via lax.scan inside the jitted G step (framework extension): one
+    # microbatch's VQVAE fwd/bwd activations are live at a time. Gradients,
+    # scalar metrics AND the EMA codebook update are exact vs the full batch —
+    # the quantizer's per-batch (counts, sums) are additive over microbatches,
+    # so the decay blend + Laplace smoothing (models/vqvae.py:218-232) is
+    # re-applied once on the combined stats (quant_decay/quant_epsilon must
+    # match the quantizer's). The D step is untouched: it is activation-light
+    # (no generator tape) and its BatchNorm sees the full batch.
+    grad_accum: int = 1
+    quant_decay: float = 0.99
+    quant_epsilon: float = 1e-5
+
+    def _g_loss_fn(self, g_state, d_state, images, adv_weight):
+        def loss_fn(params, images_i):
+            (recon, q_loss), new_vars = g_state.apply_fn(
+                {"params": params, "ema": g_state.ema},
+                images_i,
+                True,
+                mutable=["ema"],
+            )
+            recon_f = recon.astype(jnp.float32)
+            logits_fake = d_state.apply_fn(
+                {"params": d_state.params, "batch_stats": d_state.batch_stats},
+                recon_f,
+                False,
+            )[-1]
+            l1 = jnp.mean(jnp.abs(recon_f - images_i))
+            if self.perceptual_fn is not None:
+                p_loss = jnp.mean(self.perceptual_fn(images_i, recon_f))
+            else:
+                p_loss = jnp.zeros(())
+            jb = jukebox_loss(recon_f, images_i, self.spatial_dims)
+            adv = generator_adversarial_loss(logits_fake)
+            total = (
+                l1 + q_loss + self.perceptual_weight * p_loss + jb
+                + adv_weight * adv
+            )
+            metrics = {
+                "l1_loss": l1,
+                "quantization_loss": q_loss,
+                "perceptual_loss": p_loss,
+                "jukebox_loss": jb,
+                "adversarial_loss": adv,
+                "generator_loss": total,
+                "recon": recon_f,
+            }
+            return total, (new_vars["ema"], metrics)
+
+        return loss_fn
+
+    def _combine_ema(self, orig, summed, k):
+        """Exact global-batch EMA from k per-microbatch EMA results.
+
+        Each microbatch i was applied against the SAME original stats, so its
+        returned cluster_size/embed_avg are affine in that microbatch's counts
+        and sums: new_i = decay * orig + (1-decay) * stat_i. Summing over i and
+        subtracting (k-1) * decay * orig leaves decay * orig + (1-decay) *
+        sum_i(stat_i) — exactly the single full-batch update. The embedding is
+        a nonlinear normalization of those stats and is recomputed once
+        (mirror of models/vqvae.py:224-232)."""
+        if hasattr(orig, "keys") and {"cluster_size", "embed_avg", "embedding"} <= set(orig.keys()):
+            d = self.quant_decay
+            cs = summed["cluster_size"] - (k - 1) * d * orig["cluster_size"]
+            ea = summed["embed_avg"] - (k - 1) * d * orig["embed_avg"]
+            total = jnp.sum(cs)
+            n_emb = cs.shape[0]
+            smoothed = (
+                (cs + self.quant_epsilon)
+                / (total + n_emb * self.quant_epsilon)
+                * total
+            )
+            return {
+                "cluster_size": cs,
+                "embed_avg": ea,
+                "embedding": ea / smoothed[:, None],
+            }
+        if hasattr(orig, "keys"):
+            return {key: self._combine_ema(orig[key], summed[key], k) for key in orig}
+        raise ValueError("unrecognized EMA collection layout")
 
     def make_generator_step(self):
+        scalar_tags = (
+            "l1_loss", "quantization_loss", "perceptual_loss", "jukebox_loss",
+            "adversarial_loss", "generator_loss",
+        )
+
         def step(g_state: VQVAEState, d_state: DiscState, images: jnp.ndarray,
                  adv_weight: jnp.ndarray):
-            def loss_fn(params):
-                (recon, q_loss), new_vars = g_state.apply_fn(
-                    {"params": params, "ema": g_state.ema},
-                    images,
-                    True,
-                    mutable=["ema"],
-                )
-                recon_f = recon.astype(jnp.float32)
-                logits_fake = d_state.apply_fn(
-                    {"params": d_state.params, "batch_stats": d_state.batch_stats},
-                    recon_f,
-                    False,
-                )[-1]
-                l1 = jnp.mean(jnp.abs(recon_f - images))
-                if self.perceptual_fn is not None:
-                    p_loss = jnp.mean(self.perceptual_fn(images, recon_f))
-                else:
-                    p_loss = jnp.zeros(())
-                jb = jukebox_loss(recon_f, images, self.spatial_dims)
-                adv = generator_adversarial_loss(logits_fake)
-                total = (
-                    l1 + q_loss + self.perceptual_weight * p_loss + jb
-                    + adv_weight * adv
-                )
-                metrics = {
-                    "l1_loss": l1,
-                    "quantization_loss": q_loss,
-                    "perceptual_loss": p_loss,
-                    "jukebox_loss": jb,
-                    "adversarial_loss": adv,
-                    "generator_loss": total,
-                    "recon": recon_f,
-                }
-                return total, (new_vars["ema"], metrics)
+            loss_fn = self._g_loss_fn(g_state, d_state, images, adv_weight)
+            k = self.grad_accum
+            if k <= 1 or images.shape[0] % k != 0:
+                (_, (new_ema, metrics)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(g_state.params, images)
+            else:
+                m = images.shape[0] // k
 
-            (loss, (new_ema, metrics)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(g_state.params)
+                def micro(carry, images_i):
+                    g_sum, ema_sum, s_sum = carry
+                    (_, (ema_i, metrics_i)), g_i = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(g_state.params, images_i)
+                    carry = (
+                        jax.tree_util.tree_map(jnp.add, g_sum, g_i),
+                        jax.tree_util.tree_map(jnp.add, ema_sum, ema_i),
+                        {t: s_sum[t] + metrics_i[t] for t in scalar_tags},
+                    )
+                    return carry, metrics_i["recon"]
+
+                zeros_g = jax.tree_util.tree_map(jnp.zeros_like, g_state.params)
+                zeros_e = jax.tree_util.tree_map(
+                    lambda a: jnp.zeros_like(jnp.asarray(a)), g_state.ema
+                )
+                zeros_s = {t: jnp.zeros((), jnp.float32) for t in scalar_tags}
+                (g_sum, ema_sum, s_sum), recons = jax.lax.scan(
+                    micro,
+                    (zeros_g, zeros_e, zeros_s),
+                    images.reshape((k, m) + images.shape[1:]),
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / k, g_sum)
+                new_ema = self._combine_ema(g_state.ema, ema_sum, k)
+                metrics = {t: s_sum[t] / k for t in scalar_tags}
+                metrics["recon"] = recons.reshape((-1,) + recons.shape[2:])
             g_state = g_state.apply_gradients(grads=grads)
             g_state = g_state.replace(ema=new_ema)
             return g_state, metrics

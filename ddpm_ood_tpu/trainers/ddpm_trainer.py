@@ -52,6 +52,12 @@ class DDPMTrainer(BaseTrainer):
         )
 
         self._has_encoder = self.vqvae_vars is not None
+        grad_accum = int(getattr(args, "grad_accum_steps", 1) or 1)
+        if grad_accum > 1 and args.batch_size % grad_accum != 0:
+            raise ValueError(
+                f"--batch_size {args.batch_size} is not divisible by "
+                f"--grad_accum_steps {grad_accum}"
+            )
         step_builder = DDPMTrainStep(
             sched=self.sched,
             b_scale=self.b_scale,
@@ -59,6 +65,7 @@ class DDPMTrainer(BaseTrainer):
             latent_pad=self.latent_pad,
             external_noise=self.simplex_noise,
             ema_decay=self.ema_decay,
+            grad_accum=grad_accum,
         )
         self._train_step = step_builder.make_train_step()
         self._eval_step = step_builder.make_eval_step()

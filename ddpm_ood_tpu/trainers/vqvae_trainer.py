@@ -141,10 +141,19 @@ class VQVAETrainer:
             is_fake_3d=self.spatial_dimension == 3,
             lpips_normalize=True,
         )
+        grad_accum = int(getattr(args, "grad_accum_steps", 1) or 1)
+        if grad_accum > 1 and args.batch_size % grad_accum != 0:
+            raise ValueError(
+                f"--batch_size {args.batch_size} is not divisible by "
+                f"--grad_accum_steps {grad_accum}"
+            )
         steps = VQVAETrainSteps(
             spatial_dims=self.spatial_dimension,
             perceptual_weight=0.001,
             perceptual_fn=perceptual,
+            grad_accum=grad_accum,
+            quant_decay=self.vqvae_config["decay"],
+            quant_epsilon=self.vqvae_config["epsilon"],
         )
         self._g_step = steps.make_generator_step()
         self._d_step = steps.make_discriminator_step()

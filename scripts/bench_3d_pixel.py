@@ -116,7 +116,8 @@ def bench_vqvae(args, remat: bool) -> dict:
     )
     perceptual = PerceptualLoss(dimensions=3, is_fake_3d=True, lpips_normalize=True)
     steps = VQVAETrainSteps(
-        spatial_dims=3, perceptual_weight=0.001, perceptual_fn=perceptual
+        spatial_dims=3, perceptual_weight=0.001, perceptual_fn=perceptual,
+        grad_accum=args.grad_accum, quant_decay=0.9,
     )
     # the EXACT jitted programs the trainer drives (train/vqvae.py — already
     # jitted with state donation): G(g_state, d_state, images, adv_w) and
@@ -157,6 +158,7 @@ def bench_vqvae(args, remat: bool) -> dict:
         "volume": size,
         "batch": batch,
         "remat": remat,
+        "grad_accum": args.grad_accum,
         "backend": jax.default_backend(),
         "g_step_ms": round(g_dt * 1e3, 1),
         "d_step_ms": round(d_dt * 1e3, 1),
@@ -214,6 +216,12 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--remat", default="both", choices=("0", "1", "both"))
+    p.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="Accumulate G grads over this many microbatches (exact; "
+        "train/vqvae.py) — e.g. --batch 8 --grad_accum 4 runs the reference's "
+        "global batch 8 on ONE chip at microbatch-2 activation footprint.",
+    )
     p.add_argument("--quick", action="store_true")
     p.add_argument("--skip_ldm", action="store_true")
     args = p.parse_args()

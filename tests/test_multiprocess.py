@@ -18,7 +18,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_worker_pair(worker, extra_args, timeout=1500, retries=1):
+def _run_worker_pair(worker, extra_args, timeout=1500, retries=2):
     """Launch 2 coordinator-joined workers; retry ONCE on a fresh port if any
     worker exits nonzero. Under heavy host load (the suite shares the machine
     with benches) jax.distributed rendezvous/heartbeats can fail spuriously;
