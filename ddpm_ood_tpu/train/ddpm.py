@@ -54,6 +54,19 @@ def make_ddpm_state(
     )
 
 
+def _effective_accum(k: int, batch: int) -> int:
+    """Largest divisor of `batch` that is <= k (static, trace-time).
+
+    Nominal batches split into exactly k microbatches; a ragged loader tail
+    (batch % k != 0) splits into the most microbatches it evenly can, keeping
+    its microbatch size <= the nominal one (a plain fallback to k=1 would run
+    the tail at FULL batch activations — the very thing accumulation is
+    avoiding in the memory-bound regimes)."""
+    if k <= 1 or batch <= 1:
+        return 1
+    return max(d for d in range(1, min(k, batch) + 1) if batch % d == 0)
+
+
 @dataclasses.dataclass
 class DDPMTrainStep:
     """Builds the jitted train/eval steps for a (possibly latent) DDPM.
@@ -95,8 +108,8 @@ class DDPMTrainStep:
         return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
 
     def _grads(self, state, x0, noise, t):
-        k = self.grad_accum
-        if k <= 1 or x0.shape[0] % k != 0:
+        k = _effective_accum(self.grad_accum, x0.shape[0])
+        if k <= 1:
             return jax.value_and_grad(
                 lambda p: self._loss(state, p, x0, noise, t)
             )(state.params)

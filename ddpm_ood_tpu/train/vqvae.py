@@ -28,6 +28,7 @@ from flax.training import train_state
 
 from ..losses.gan import discriminator_loss, generator_adversarial_loss
 from ..losses.spectral import jukebox_loss
+from .ddpm import _effective_accum
 
 
 class VQVAEState(train_state.TrainState):
@@ -160,8 +161,10 @@ class VQVAETrainSteps:
         def step(g_state: VQVAEState, d_state: DiscState, images: jnp.ndarray,
                  adv_weight: jnp.ndarray):
             loss_fn = self._g_loss_fn(g_state, d_state, images, adv_weight)
-            k = self.grad_accum
-            if k <= 1 or images.shape[0] % k != 0:
+            # ragged tails split into the most microbatches that divide them
+            # evenly (train/ddpm.py:_effective_accum)
+            k = _effective_accum(self.grad_accum, images.shape[0])
+            if k <= 1:
                 (_, (new_ema, metrics)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(g_state.params, images)

@@ -92,11 +92,24 @@ def test_ddpm_accum_internal_noise_matches():
     _assert_trees_close(params[0], params[1])
 
 
-def test_ddpm_accum_ragged_tail_falls_back():
-    """A batch not divisible by grad_accum (ragged loader tail) runs the
-    unaccumulated path at trace time — same numerics as grad_accum=1."""
+def test_effective_accum_tail_microbatching():
+    """Ragged tails split into the most microbatches that divide them evenly,
+    keeping the tail's activation footprint at or below the nominal
+    microbatch; prime tails are the unavoidable worst case."""
+    from ddpm_ood_tpu.train.ddpm import _effective_accum
+
+    assert _effective_accum(4, 8) == 4   # nominal
+    assert _effective_accum(4, 6) == 3   # tail: microbatch 2 == nominal 2
+    assert _effective_accum(4, 7) == 1   # prime tail: full batch
+    assert _effective_accum(1, 8) == 1
+    assert _effective_accum(8, 4) == 4   # accum > batch clamps to batch
+
+
+def test_ddpm_accum_ragged_tail_matches():
+    """A batch not divisible by grad_accum (ragged loader tail) still matches
+    grad_accum=1 numerics (it re-splits into 3 microbatches of 2 here)."""
     sched = make_schedule("linear_beta", 50, 1e-4, 2e-2, "epsilon")
-    images, t, noise = _ddpm_inputs(6)  # 6 % 4 != 0
+    images, t, noise = _ddpm_inputs(6)  # 6 % 4 != 0 -> k_eff = 3
 
     params = []
     for accum in (1, 4):
@@ -105,7 +118,7 @@ def test_ddpm_accum_ragged_tail_falls_back():
         ).make_train_step()
         state, _ = step(_ddpm_state(), images, t, noise)
         params.append(state.params)
-    _assert_trees_close(params[0], params[1], atol=0, rtol=0)  # identical HLO
+    _assert_trees_close(params[0], params[1])
 
 
 def test_vqvae_generator_accum_exact():
