@@ -350,4 +350,10 @@ def parse_args_ood_detection(argv=None) -> argparse.Namespace:
         "hardcodes 'mse', ood_detection.py:73). 'elbo' targets require result "
         "CSVs produced with reconstruct.py --score_elbo=1.",
     )
+    parser.add_argument(
+        "--report", default="auroc",
+        help="Comma-separated metrics to report per OOD dataset (framework "
+        "extension; the reference prints AUROC only): auroc, aupr (average "
+        "precision, OOD positive), fpr95 (FPR at 95%% TPR).",
+    )
     return parser.parse_args(argv)

@@ -70,6 +70,28 @@ def auroc(labels: Sequence[int], scores: Sequence[float]) -> float:
     return float(roc_auc_score(labels, scores))
 
 
+def aupr(labels: Sequence[int], scores: Sequence[float]) -> float:
+    """Area under precision-recall with OOD (label 1) as the positive class
+    (framework extension; the reference reports AUROC only)."""
+    from sklearn.metrics import average_precision_score
+
+    return float(average_precision_score(labels, scores))
+
+
+def fpr_at_95_tpr(labels: Sequence[int], scores: Sequence[float]) -> float:
+    """False-positive rate at the lowest threshold reaching 95% true-positive
+    rate on OOD (label 1) — the standard OOD-detection operating point
+    (framework extension)."""
+    from sklearn.metrics import roc_curve
+
+    fpr, tpr, _ = roc_curve(labels, scores)
+    idx = np.argmax(tpr >= 0.95)
+    return float(fpr[idx])
+
+
+OOD_METRICS = {"auroc": auroc, "aupr": aupr, "fpr95": fpr_at_95_tpr}
+
+
 def dedup(df: pd.DataFrame) -> pd.DataFrame:
     """Drop duplicate (filename, t) rows (DDP even-divisible padding artifact)."""
     return df.drop_duplicates(subset=["filename", "t"], keep="first")
@@ -154,6 +176,8 @@ def compute_ood_scores(
     scores = np.concatenate([in_scores, out_scores])
     return {
         "auroc": auroc(labels, scores),
+        "aupr": aupr(labels, scores),
+        "fpr95": fpr_at_95_tpr(labels, scores),
         "per_image": per_image,
         "rows": combined,
         "t_values": t_values,
@@ -191,6 +215,7 @@ def run_ood_detection(
     plot_target: str = "mse",
     save_plots: bool = True,
     out_datasets: Optional[Sequence[str]] = None,
+    report: str = "auroc",
 ) -> Dict[str, List]:
     """Driver for one model: mirrors reference main() (ood_detection.py:40-223)."""
     run_dir = Path(output_dir) / model_name
@@ -210,7 +235,17 @@ def run_ood_detection(
 
     if out_datasets is None:
         out_datasets = out_datasets_for_model(model_name)
+    metrics = [m.strip() for m in report.split(",") if m.strip()]
+    unknown = [m for m in metrics if m not in OOD_METRICS]
+    if unknown:
+        raise ValueError(
+            f"unknown --report metric(s) {unknown}; choose from "
+            f"{sorted(OOD_METRICS)}"
+        )
+    extra = [m for m in metrics if m != "auroc"]
     results = {"ood_data": [], f"Zscore_{plot_target}": []}
+    for m in extra:
+        results[m] = []
     for out_name in out_datasets:
         in_df = pd.read_csv(out_dir / "results_in.csv")
         out_df = pd.read_csv(out_dir / f"results_{out_name}.csv")
@@ -228,10 +263,21 @@ def run_ood_detection(
             )
         results["ood_data"].append(out_name)
         results[f"Zscore_{plot_target}"].append(scored["auroc"])
+        for m in extra:
+            results[m].append(scored[m])
 
-    for o, s in zip(results["ood_data"], results[f"Zscore_{plot_target}"]):
-        print(f"AUC for {model_name} vs {o}: {s * 100:.1f}")
+    for i, o in enumerate(results["ood_data"]):
+        print(
+            f"AUC for {model_name} vs {o}: "
+            f"{results[f'Zscore_{plot_target}'][i] * 100:.1f}"
+        )
+        for m in extra:
+            label = {"aupr": "AUPR", "fpr95": "FPR@95TPR"}[m]
+            print(f"{label} for {model_name} vs {o}: {results[m][i] * 100:.1f}")
     print(
         f"Average AUC: {np.mean(results[f'Zscore_{plot_target}']) * 100:.1f}"
     )
+    for m in extra:
+        label = {"aupr": "AUPR", "fpr95": "FPR@95TPR"}[m]
+        print(f"Average {label}: {np.mean(results[m]) * 100:.1f}")
     return results

@@ -17,4 +17,5 @@ if __name__ == "__main__":
             max_t=args.max_t,
             min_t=args.min_t,
             plot_target=args.plot_target,
+            report=args.report,
         )

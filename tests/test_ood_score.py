@@ -99,3 +99,72 @@ def test_model_evaluations_counting():
     assert model_evaluations([990]) == 101
     assert model_evaluations([0]) == 1
     assert model_evaluations([10]) == 2
+
+
+def test_aupr_and_fpr95_hand_computed():
+    """AUPR/FPR@95TPR extension (the reference reports AUROC only)."""
+    from ddpm_ood_tpu.ood.score import aupr, fpr_at_95_tpr
+
+    # perfect separation: AUPR 1, no false positives needed for full TPR
+    labels = [0, 0, 0, 1, 1, 1]
+    assert aupr(labels, [0.1, 0.2, 0.3, 0.7, 0.8, 0.9]) == 1.0
+    assert fpr_at_95_tpr(labels, [0.1, 0.2, 0.3, 0.7, 0.8, 0.9]) == 0.0
+
+    # one OOD sample scored below every in-dist sample: reaching 95% TPR
+    # (= all 2 of 2 positives at this size) forces all negatives positive
+    labels2 = [0, 0, 1, 1]
+    scores2 = [0.5, 0.6, 0.9, 0.1]
+    assert fpr_at_95_tpr(labels2, scores2) == 1.0
+    # AUPR with precision@k checkpoints: P=1 at rank1, P=0.5 at rank4
+    # average_precision = (1*1 + 0.25*... ) hand value from sklearn's step sum
+    np.testing.assert_allclose(aupr(labels2, scores2), 0.75)
+
+
+def test_compute_ood_scores_includes_extended_metrics():
+    val = _df(
+        ["v1", "v1", "v2", "v2"], ["val"] * 4, [100, 200, 100, 200],
+        [0.1, 0.2, 0.3, 0.4],
+    )
+    in_df = _df(
+        ["i1", "i1", "i2", "i2"], ["in"] * 4, [100, 200, 100, 200],
+        [0.1, 0.2, 0.3, 0.4],
+    )
+    out_df = _df(
+        ["o1", "o1", "o2", "o2"], ["out"] * 4, [100, 200, 100, 200],
+        [0.9, 1.0, 1.1, 1.2],
+    )
+    scored = compute_ood_scores(val, in_df, out_df)
+    assert scored["auroc"] == 1.0
+    assert scored["aupr"] == 1.0
+    assert scored["fpr95"] == 0.0
+
+
+def test_run_ood_detection_report_flag(tmp_path):
+    """--report=auroc,aupr,fpr95 prints and returns the extra metrics;
+    an unknown metric fails loudly."""
+    from ddpm_ood_tpu.ood.score import run_ood_detection
+
+    ood = tmp_path / "m_fashionmnist" / "ood"
+    ood.mkdir(parents=True)
+    _df(
+        ["v1", "v2"], ["val"] * 2, [100, 100], [0.1, 0.2]
+    ).to_csv(ood / "results_val.csv")
+    _df(["i1", "i2"], ["in"] * 2, [100, 100], [0.1, 0.2]).to_csv(
+        ood / "results_in.csv"
+    )
+    for name in ("MNIST", "FashionMNIST_vflip", "FashionMNIST_hflip"):
+        _df(["o1", "o2"], ["out"] * 2, [100, 100], [0.9, 1.0]).to_csv(
+            ood / f"results_{name}.csv"
+        )
+    results = run_ood_detection(
+        str(tmp_path), "m_fashionmnist", save_plots=False,
+        report="auroc,aupr,fpr95",
+    )
+    assert results["aupr"] == [1.0] * 3
+    assert results["fpr95"] == [0.0] * 3
+    assert results["Zscore_mse"] == [1.0] * 3
+
+    with pytest.raises(ValueError, match="unknown --report"):
+        run_ood_detection(
+            str(tmp_path), "m_fashionmnist", save_plots=False, report="f1",
+        )
