@@ -205,3 +205,33 @@ def test_cli_flags_parse_and_trainer_validates():
         ["--training_ids", "x", "--validation_ids", "y", "--grad_accum_steps", "2"]
     )
     assert vargs.grad_accum_steps == 2
+
+
+def test_ddpm_accum_ldm_encoder_path():
+    """Accumulation composes with the LDM path (encode_fn threaded as a traced
+    Partial; x0 becomes the latent after _prepare, split happens after)."""
+    sched = make_schedule("linear_beta", 50, 1e-4, 2e-2, "epsilon")
+    images, _, _ = _ddpm_inputs(8)
+    # stand-in frozen encoder: 1->1 channel avg-pool halving spatial dims
+    encode = jax.tree_util.Partial(
+        lambda x: jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        ) / 4.0
+    )
+    key = jax.random.PRNGKey(3)
+
+    def make_state():
+        unet = make_unet("tiny", 2, 1, 1)
+        return make_ddpm_state(
+            unet, jax.random.PRNGKey(0), (4, 4, 1), learning_rate=1e-3
+        )
+
+    params = []
+    for accum in (1, 2):
+        step = DDPMTrainStep(
+            sched=sched, has_encoder=True, grad_accum=accum
+        ).make_train_step()
+        state, loss = step(make_state(), images, key, encode)
+        assert np.isfinite(float(loss))
+        params.append(state.params)
+    _assert_trees_close(params[0], params[1])
