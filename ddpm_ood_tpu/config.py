@@ -281,6 +281,15 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "ood_detection.py --plot_target=elbo (or mse+elbo).",
     )
     parser.add_argument(
+        "--score_ssim", type=int, default=0,
+        help="Framework extension: also emit per-(image, t) 1-SSIM "
+        "(Gaussian-window structural dissimilarity, ops/ssim.py) as an "
+        "'ssim_distance' column in the results CSVs — a third similarity "
+        "family beside mse/LPIPS, metrics-tail only (no extra UNet evals). "
+        "Score with ood_detection.py --plot_target=ssim_distance (or "
+        "mse+ssim).",
+    )
+    parser.add_argument(
         "--simplex_noise_mode", default="exact", choices=("exact", "device"),
         help="With --simplex_noise: 'exact' draws bit-faithful OpenSimplex "
         "planes with the native C++ kernel on the host (the reference's "
@@ -345,10 +354,11 @@ def parse_args_ood_detection(argv=None) -> argparse.Namespace:
     parser.add_argument(
         "--plot_target", default="mse",
         choices=("mse", "perceptual_difference", "mse+perceptual", "elbo",
-                 "mse+elbo"),
+                 "mse+elbo", "ssim_distance", "mse+ssim"),
         help="Z-score target for the AUROC (framework extension; the reference "
         "hardcodes 'mse', ood_detection.py:73). 'elbo' targets require result "
-        "CSVs produced with reconstruct.py --score_elbo=1.",
+        "CSVs produced with reconstruct.py --score_elbo=1; 'ssim' targets "
+        "require --score_ssim=1.",
     )
     parser.add_argument(
         "--report", default="auroc",

@@ -156,6 +156,13 @@ def compute_ood_scores(
             f"plot_target={plot_target!r} needs an 'elbo' column in the result "
             "CSVs — rerun reconstruct.py with --score_elbo=1"
         )
+    if "ssim_distance" in combined.columns and "ssim_distance" in val_df.columns:
+        targets.append("ssim_distance")
+    elif plot_target in ("ssim_distance", "mse+ssim"):
+        raise ValueError(
+            f"plot_target={plot_target!r} needs an 'ssim_distance' column in "
+            "the result CSVs — rerun reconstruct.py with --score_ssim=1"
+        )
     combined = zscore_against_val(combined, val_df, targets=targets)
 
     target = f"z_score_{plot_target}"
@@ -166,6 +173,10 @@ def compute_ood_scores(
     elif plot_target == "mse+elbo":
         combined["z_score_mse+elbo"] = (
             combined["z_score_mse"] + combined["z_score_elbo"]
+        )
+    elif plot_target == "mse+ssim":
+        combined["z_score_mse+ssim"] = (
+            combined["z_score_mse"] + combined["z_score_ssim_distance"]
         )
     per_image = (
         combined.groupby(["filename", "type"]).mean(numeric_only=True).reset_index()

@@ -235,6 +235,11 @@ class ReconProgram:
     # mega-batched UNet eval per group (~2% of the sweep). __call__ then
     # returns a 4th (K, B) array.
     score_elbo: bool = False
+    # third similarity family (framework extension): per-(lane, image)
+    # 1 - SSIM between the decoded reconstruction and the original
+    # (ops/ssim.py; Gaussian-window, 2D/3D) — pure metrics-tail work, no extra
+    # UNet evals. Emitted as an extra (K, B) array AFTER elbo (when both on).
+    score_ssim: bool = False
 
     def __post_init__(self):
         if self.sampler in ("ddim", "dpm"):
@@ -252,6 +257,11 @@ class ReconProgram:
         if self.score_elbo and self.sampler == "plms_ref":
             raise ValueError(
                 "score_elbo is not supported with sampler='plms_ref' (the "
+                "bit-parity path emits exactly the reference's outputs)"
+            )
+        if self.score_ssim and self.sampler == "plms_ref":
+            raise ValueError(
+                "score_ssim is not supported with sampler='plms_ref' (the "
                 "bit-parity path emits exactly the reference's outputs)"
             )
         self.t_starts = pndm_start_points(
@@ -310,6 +320,7 @@ class ReconProgram:
             scores = self._score_body(decode_fn, images_original, recon)
             if not self.score_elbo:
                 return scores
+            base, ssim_part = scores[:3], scores[3:]  # ssim (if on) goes last
             # likelihood term: re-form each lane's own x_t (fused with the
             # sweep's identical expression by XLA) and do one mega-batched
             # eval at the start points — the only extra UNet work
@@ -333,7 +344,7 @@ class ReconProgram:
                 elbo = jax.lax.with_sharding_constraint(
                     elbo, NamedSharding(self.out_mesh, PartitionSpec())
                 )
-            return scores + (elbo,)
+            return base + (elbo,) + ssim_part
 
         return jax.jit(program)
 
@@ -377,6 +388,12 @@ class ReconProgram:
                 )
         else:
             perc = jnp.zeros_like(mse)
+        ssim_d = None
+        if self.score_ssim:
+            from ..ops.ssim import ssim_distance
+
+            ssim_d = jax.vmap(lambda r: ssim_distance(images_original, r))(recon)
+
         # small preview payload: the highest-t_start lane's recon for up to
         # 8 images (reference renders per-batch previews, reconstruct.py:206-231)
         preview = recon[-1, : min(8, recon.shape[1])]
@@ -387,6 +404,10 @@ class ReconProgram:
             mse = jax.lax.with_sharding_constraint(mse, rep)
             perc = jax.lax.with_sharding_constraint(perc, rep)
             preview = jax.lax.with_sharding_constraint(preview, rep)
+            if ssim_d is not None:
+                ssim_d = jax.lax.with_sharding_constraint(ssim_d, rep)
+        if ssim_d is not None:
+            return mse, perc, preview, ssim_d
         return mse, perc, preview
 
     def _call_reference_exact(self, images: jnp.ndarray, rng: jax.Array):
@@ -445,7 +466,7 @@ class ReconProgram:
                 ),
                 dtype=np.float32,
             )
-        mses, percs, elbos, starts = [], [], [], []
+        mses, percs, elbos, ssims, starts = [], [], [], [], []
         offset = 0
         for gi, (ts_desc, t_starts) in enumerate(self._groups):
             key = (ts_desc.shape[0], t_starts.shape[0], images.shape)
@@ -480,8 +501,12 @@ class ReconProgram:
             mse, perc, preview = out[:3]
             mses.append(mse)
             percs.append(perc)
+            idx = 3
             if self.score_elbo:
-                elbos.append(out[3])
+                elbos.append(out[idx])
+                idx += 1
+            if self.score_ssim:
+                ssims.append(out[idx])
             starts.append(t_starts)
         self.last_preview = preview  # from the highest-t_start group
         base = (
@@ -490,5 +515,7 @@ class ReconProgram:
             jnp.concatenate(percs, axis=0),
         )
         if self.score_elbo:
-            return base + (jnp.concatenate(elbos, axis=0),)
+            base = base + (jnp.concatenate(elbos, axis=0),)
+        if self.score_ssim:
+            base = base + (jnp.concatenate(ssims, axis=0),)
         return base

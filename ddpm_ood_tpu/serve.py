@@ -71,6 +71,7 @@ def build_recon_program(
         latent_sample_shape=tuple(trainer._latent_sample_shape()),
         out_mesh=trainer.mesh if jax.process_count() > 1 else None,
         score_elbo=bool(getattr(args, "score_elbo", 0)),
+        score_ssim=bool(getattr(args, "score_ssim", 0)),
     )
 
 

@@ -188,7 +188,12 @@ class Reconstruct(BaseTrainer):
             rng, sub = jax.random.split(rng)
             out = program(self.shard(images), sub)
             t_starts, mse, perc = out[:3]
-            elbo = np.asarray(out[3]) if program.score_elbo else None
+            idx = 3
+            elbo = None
+            if program.score_elbo:
+                elbo = np.asarray(out[idx])
+                idx += 1
+            ssim_d = np.asarray(out[idx]) if program.score_ssim else None
             mse = np.asarray(mse)  # (K, B_global) — replicated under multihost
             perc = np.asarray(perc)
             if profiling:
@@ -205,11 +210,15 @@ class Reconstruct(BaseTrainer):
                 perc = perc[:, off : off + b]
                 if elbo is not None:
                     elbo = elbo[:, off : off + b]
+                if ssim_d is not None:
+                    ssim_d = ssim_d[:, off : off + b]
             else:
                 mse = mse[:, :b]
                 perc = perc[:, :b]
                 if elbo is not None:
                     elbo = elbo[:, :b]
+                if ssim_d is not None:
+                    ssim_d = ssim_d[:, :b]
             for k, t_start in enumerate(t_starts):
                 for b, filename in enumerate(batch["filename"]):
                     row = {
@@ -221,6 +230,8 @@ class Reconstruct(BaseTrainer):
                     }
                     if elbo is not None:
                         row["elbo"] = float(elbo[k, b])
+                    if ssim_d is not None:
+                        row["ssim_distance"] = float(ssim_d[k, b])
                     results.append(row)
             t2 = time.time()
             info(
