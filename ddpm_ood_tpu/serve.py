@@ -112,8 +112,13 @@ class ScoringService:
         self.serve_elbo = bool(getattr(program, "score_elbo", False)) and (
             "elbo" in val_stats.columns
         )
-        targets = ("mse", "perceptual_difference") + (
-            ("elbo",) if self.serve_elbo else ()
+        self.serve_ssim = bool(getattr(program, "score_ssim", False)) and (
+            "ssim_distance" in val_stats.columns
+        )
+        targets = (
+            ("mse", "perceptual_difference")
+            + (("elbo",) if self.serve_elbo else ())
+            + (("ssim_distance",) if self.serve_ssim else ())
         )
         for target in targets:
             agg = val_stats.groupby("t")[target].agg(["mean", "std"])
@@ -172,11 +177,22 @@ class ScoringService:
             self.stats["device_seconds"] += _time.perf_counter() - t0
         mse = np.asarray(mse)[:, :b]          # (K, B)
         perc = np.asarray(perc)[:, :b]
-        elbo = np.asarray(prog_out[3])[:, :b] if self.serve_elbo else None
+        # extras ride after (mse, perc, preview) in program-flag order —
+        # elbo first, then ssim (recon/sweep.py __call__); index by what the
+        # PROGRAM emits, serve only what the val CSV can normalize
+        idx = 3
+        elbo = ssim = None
+        if getattr(self.program, "score_elbo", False):
+            if self.serve_elbo:
+                elbo = np.asarray(prog_out[idx])[:, :b]
+            idx += 1
+        if getattr(self.program, "score_ssim", False) and self.serve_ssim:
+            ssim = np.asarray(prog_out[idx])[:, :b]
         out = []
         for i in range(b):
             rec: Dict[str, object] = {"per_t": {}}
-            zs = {"mse": [], "perceptual_difference": [], "elbo": []}
+            zs = {"mse": [], "perceptual_difference": [], "elbo": [],
+                  "ssim_distance": []}
             for k, t in enumerate(int(t) for t in t_starts):
                 m_mu, m_sd = self._stats["mse"][t]
                 p_mu, p_sd = self._stats["perceptual_difference"][t]
@@ -192,10 +208,16 @@ class ScoringService:
                     e_mu, e_sd = self._stats["elbo"][t]
                     zs["elbo"].append((float(elbo[k, i]) - e_mu) / e_sd)
                     rec["per_t"][t]["elbo"] = float(elbo[k, i])
+                if ssim is not None:
+                    s_mu, s_sd = self._stats["ssim_distance"][t]
+                    zs["ssim_distance"].append((float(ssim[k, i]) - s_mu) / s_sd)
+                    rec["per_t"][t]["ssim_distance"] = float(ssim[k, i])
             rec["z_score_mse"] = float(np.mean(zs["mse"]))
             rec["z_score_perceptual"] = float(np.mean(zs["perceptual_difference"]))
             if elbo is not None:
                 rec["z_score_elbo"] = float(np.mean(zs["elbo"]))
+            if ssim is not None:
+                rec["z_score_ssim"] = float(np.mean(zs["ssim_distance"]))
             out.append(rec)
         return out
 

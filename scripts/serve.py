@@ -60,6 +60,10 @@ def parse_args(argv=None):
                    help="also return z_score_elbo per image (needs a "
                    "results_val.csv produced with reconstruct.py "
                    "--score_elbo=1)")
+    p.add_argument("--score_ssim", type=int, default=0,
+                   help="also return z_score_ssim per image (needs a "
+                   "results_val.csv produced with reconstruct.py "
+                   "--score_ssim=1)")
     p.add_argument("--quantize", default="none", choices=("none", "int8"),
                    help="int8 PTQ of the scoring UNet's block convs "
                    "(reconstruct.py --quantize; ops/quant.py)")

@@ -93,6 +93,52 @@ def test_elbo_served_when_program_and_stats_have_it(program):
     assert np.isfinite(out[0]["z_score_mse"])
 
 
+def test_ssim_served_beside_elbo(program):
+    """score_ssim rides after elbo in the program outputs; the service
+    serves z_score_ssim when the val stats carry ssim_distance, and indexes
+    the extras correctly whether or not elbo is also enabled."""
+    both_prog = ReconProgram(
+        sched=program.sched, model_fn=program.model_fn,
+        num_inference_steps=10, inference_skip_factor=3, num_groups=2,
+        score_elbo=True, score_ssim=True,
+    )
+    stats = _val_stats(program)
+    stats["elbo"] = 0.05 + 0.001 * (stats.index % 4)
+    stats["ssim_distance"] = 0.2 + 0.01 * (stats.index % 4)
+    svc = ScoringService(both_prog, stats, batch_size=4, model_name="t")
+    imgs = np.random.default_rng(2).uniform(size=(2, SIZE, SIZE, 1)).astype(
+        "float32"
+    )
+    out = svc.score(imgs)
+    assert all(np.isfinite(r["z_score_ssim"]) for r in out)
+    assert all(np.isfinite(r["z_score_elbo"]) for r in out)
+    assert all("ssim_distance" in v for r in out for v in r["per_t"].values())
+
+    # ssim only (no elbo): the ssim array sits at output index 3
+    ssim_prog = ReconProgram(
+        sched=program.sched, model_fn=program.model_fn,
+        num_inference_steps=10, inference_skip_factor=3, num_groups=2,
+        score_ssim=True,
+    )
+    stats2 = _val_stats(program)
+    stats2["ssim_distance"] = 0.2 + 0.01 * (stats2.index % 4)
+    svc2 = ScoringService(ssim_prog, stats2, batch_size=4, model_name="t")
+    out2 = svc2.score(imgs)
+    assert all(np.isfinite(r["z_score_ssim"]) for r in out2)
+    assert all("z_score_elbo" not in r for r in out2)
+    # same ssim values through both programs (same noise key path)
+    np.testing.assert_allclose(
+        [r["z_score_ssim"] for r in out2],
+        [r["z_score_ssim"] for r in out], rtol=1e-5,
+    )
+
+    # program emits ssim but the val CSV lacks the column: served without it
+    svc3 = ScoringService(ssim_prog, _val_stats(program), batch_size=4,
+                          model_name="t")
+    out3 = svc3.score(imgs)
+    assert all("z_score_ssim" not in r for r in out3)
+
+
 def test_oversize_batch_rejected(service):
     with pytest.raises(ValueError, match="batch"):
         service.score(np.zeros((5, SIZE, SIZE, 1), "float32"))
