@@ -89,6 +89,17 @@ def parse_args_train_ddpm(argv=None) -> argparse.Namespace:
         "must be divisible by it. Lets one chip run the reference's global "
         "batch when activations exceed HBM (composable with --remat).",
     )
+    parser.add_argument(
+        "--learning_rate", type=float, default=2.5e-5,
+        help="Adam learning rate (the reference hardcodes 2.5e-5, "
+        "base.py:156 — that stays the default).",
+    )
+    parser.add_argument(
+        "--lr_warmup_steps", type=int, default=0,
+        help="Linearly ramp the learning rate from 0 over this many optimizer "
+        "steps, then hold (framework extension; 0 = constant lr like the "
+        "reference; off keeps the reference-era optimizer checkpoint schema).",
+    )
     parser.add_argument("--n_epochs", type=int, default=300, help="Number of epochs to train.")
     parser.add_argument(
         "--eval_freq", type=int, default=10, help="Epochs between evaluations."

@@ -291,4 +291,10 @@ def run_ood_detection(
     for m in extra:
         label = {"aupr": "AUPR", "fpr95": "FPR@95TPR"}[m]
         print(f"Average {label}: {np.mean(results[m]) * 100:.1f}")
+    # persist the score table beside the plots (framework extension; the
+    # reference only prints) so sweeps over models/targets are comparable
+    # without scraping stdout
+    pd.DataFrame(results).to_csv(
+        out_dir / f"ood_scores_{plot_target}.csv", index=False
+    )
     return results

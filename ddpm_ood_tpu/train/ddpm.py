@@ -42,12 +42,26 @@ def make_ddpm_state(
     sample_shape: Tuple[int, ...],
     learning_rate: float = 2.5e-5,
     with_ema: bool = False,
+    lr_warmup_steps: int = 0,
 ) -> TrainState:
-    """Init params on a (1, *spatial, C) dummy and build the Adam state."""
+    """Init params on a (1, *spatial, C) dummy and build the Adam state.
+
+    lr_warmup_steps > 0 (framework extension; the reference trains at a fixed
+    Adam 2.5e-5, base.py:156) linearly ramps the lr from 0 over that many
+    optimizer steps, then holds it constant. Off by default — the optimizer
+    state tree then matches the reference-era checkpoints exactly (a schedule
+    adds a step-count leaf)."""
     dummy_x = jnp.zeros((1,) + tuple(sample_shape), dtype=jnp.float32)
     dummy_t = jnp.zeros((1,), dtype=jnp.int32)
     params = unet.init(rng, dummy_x, dummy_t)["params"]
-    tx = optax.adam(learning_rate)
+    if lr_warmup_steps > 0:
+        lr = optax.linear_schedule(
+            init_value=0.0, end_value=learning_rate,
+            transition_steps=lr_warmup_steps,
+        )
+    else:
+        lr = learning_rate
+    tx = optax.adam(lr)
     ema = jax.tree_util.tree_map(jnp.array, params) if with_ema else None
     return TrainState.create(
         apply_fn=unet.apply, params=params, tx=tx, ema_params=ema

@@ -155,8 +155,10 @@ class BaseTrainer:
         self.ema_decay = float(getattr(args, "ema_decay", 0) or 0)
         self.use_ema = bool(getattr(args, "use_ema", 0))
         self.state = make_ddpm_state(
-            self.unet, rng, sample_shape, learning_rate=2.5e-5,
+            self.unet, rng, sample_shape,
+            learning_rate=float(getattr(args, "learning_rate", 2.5e-5) or 2.5e-5),
             with_ema=self.ema_decay > 0 or self.use_ema,
+            lr_warmup_steps=int(getattr(args, "lr_warmup_steps", 0) or 0),
         )
         info(f"{param_count(self.state.params):,} model parameters")
 

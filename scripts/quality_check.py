@@ -114,6 +114,9 @@ def main() -> None:
     parser.add_argument("--elbo", action="store_true",
                         help="reconstruct with --score_elbo and additionally "
                         "report the likelihood-target (elbo / mse+elbo) AUROCs")
+    parser.add_argument("--ssim", action="store_true",
+                        help="reconstruct with --score_ssim and additionally "
+                        "report the ssim_distance / mse+ssim AUROCs")
     parser.add_argument("--workdir", default=None)
     args = parser.parse_args()
 
@@ -174,6 +177,7 @@ def main() -> None:
         rargs.use_ema = use_ema
         rargs.quantize = quantize
         rargs.score_elbo = int(args.elbo)
+        rargs.score_ssim = int(args.ssim)
         recon = Reconstruct(rargs)
         recon.reconstruct(rargs)
         entry = {
@@ -182,6 +186,10 @@ def main() -> None:
         }
         if args.elbo:
             for target in ("elbo", "mse+elbo"):
+                entry[f"easy_{target}"] = score_run(out_dir, "outset", target)
+                entry[f"hard_{target}"] = score_run(out_dir, "nearset", target)
+        if args.ssim:
+            for target in ("ssim_distance", "mse+ssim"):
                 entry[f"easy_{target}"] = score_run(out_dir, "outset", target)
                 entry[f"hard_{target}"] = score_run(out_dir, "nearset", target)
         suffix = ("+ema" if use_ema else "") + (

@@ -168,3 +168,28 @@ def test_run_ood_detection_report_flag(tmp_path):
         run_ood_detection(
             str(tmp_path), "m_fashionmnist", save_plots=False, report="f1",
         )
+
+
+def test_run_ood_detection_writes_summary_csv(tmp_path):
+    ood = tmp_path / "s_fashionmnist" / "ood"
+    ood.mkdir(parents=True)
+    _df(["v1", "v2"], ["val"] * 2, [100, 100], [0.1, 0.2]).to_csv(
+        ood / "results_val.csv"
+    )
+    _df(["i1", "i2"], ["in"] * 2, [100, 100], [0.1, 0.2]).to_csv(
+        ood / "results_in.csv"
+    )
+    for name in ("MNIST", "FashionMNIST_vflip", "FashionMNIST_hflip"):
+        _df(["o1", "o2"], ["out"] * 2, [100, 100], [0.9, 1.0]).to_csv(
+            ood / f"results_{name}.csv"
+        )
+    from ddpm_ood_tpu.ood.score import run_ood_detection
+
+    run_ood_detection(str(tmp_path), "s_fashionmnist", save_plots=False,
+                      report="auroc,fpr95")
+    out = pd.read_csv(ood / "ood_scores_mse.csv")
+    assert list(out["ood_data"]) == [
+        "MNIST", "FashionMNIST_vflip", "FashionMNIST_hflip"
+    ]
+    assert (out["Zscore_mse"] == 1.0).all()
+    assert "fpr95" in out.columns

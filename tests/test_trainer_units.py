@@ -35,3 +35,50 @@ def test_latent_sample_shape_with_pad():
     shape = BaseTrainer._latent_sample_shape(self)
     # 32 / (2*2) = 8 per axis; torch pad order: last dim gets (1,1), first (2,2)
     assert shape == (8 + 4, 8 + 2, 4)
+
+
+def test_lr_warmup_schedule():
+    """--lr_warmup_steps: step 1 runs at lr 0 (params unchanged), later steps
+    at ramped lr (params move); warmup off keeps the reference-era optimizer
+    state tree (no schedule count leaf)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddpm_ood_tpu.diffusion.schedules import make_schedule
+    from ddpm_ood_tpu.models.unet import make_unet
+    from ddpm_ood_tpu.train.ddpm import DDPMTrainStep, make_ddpm_state
+
+    unet = make_unet("tiny", 2, 1, 1)
+    sched = make_schedule("linear_beta", 50, 1e-4, 2e-2, "epsilon")
+    state = make_ddpm_state(
+        unet, jax.random.PRNGKey(0), (8, 8, 1), learning_rate=1e-3,
+        lr_warmup_steps=4,
+    )
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    step = DDPMTrainStep(sched=sched).make_train_step()
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(4, 8, 8, 1)).astype(np.float32)
+    )
+    state, _ = step(state, images, jax.random.PRNGKey(1))
+    # first optimizer step sees schedule(0) = 0.0 -> no movement
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    state, _ = step(state, images, jax.random.PRNGKey(2))
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(state.params))
+    )
+    assert moved
+
+    # warmup off: opt_state tree identical to the plain-Adam reference schema
+    plain = make_ddpm_state(unet, jax.random.PRNGKey(0), (8, 8, 1))
+    warm = make_ddpm_state(
+        unet, jax.random.PRNGKey(0), (8, 8, 1), lr_warmup_steps=4
+    )
+    plain_tree = jax.tree_util.tree_structure(plain.opt_state)
+    warm_tree = jax.tree_util.tree_structure(warm.opt_state)
+    assert plain_tree != warm_tree  # schedule adds state (documented)
+    again = make_ddpm_state(unet, jax.random.PRNGKey(0), (8, 8, 1))
+    assert jax.tree_util.tree_structure(again.opt_state) == plain_tree
