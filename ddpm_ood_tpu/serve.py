@@ -89,8 +89,14 @@ class ScoringService:
         val_stats: pd.DataFrame,
         batch_size: int,
         model_name: str = "model",
+        reload_fn=None,
     ):
         self.program = program
+        # checkpoint hot-reload hook (POST /reload): a callable that re-reads
+        # weights and swaps program.model_fn, returning a description string.
+        # Weights are traced program ARGUMENTS (docs/DESIGN.md), so the swap
+        # reuses every compiled sweep — zero recompiles (tested).
+        self.reload_fn = reload_fn
         self.batch_size = int(batch_size)
         self.model_name = model_name
         self._lock = threading.Lock()  # one sweep in flight on the device
@@ -143,7 +149,19 @@ class ScoringService:
         # count is tallied at the HTTP layer so batched coalescing is visible)
         self.stats: Dict[str, float] = {
             "requests": 0, "images": 0, "sweeps": 0, "device_seconds": 0.0,
+            "reloads": 0,
         }
+
+    def reload(self) -> str:
+        """Swap in freshly-read checkpoint weights without dropping requests:
+        the swap holds the sweep lock, and compiled programs are reused as-is
+        (params are traced arguments, not baked into the HLO)."""
+        if self.reload_fn is None:
+            raise RuntimeError("service was started without a reload hook")
+        with self._lock:
+            desc = self.reload_fn()
+            self.stats["reloads"] += 1
+        return str(desc)
 
     @classmethod
     def from_val_csv(cls, program, val_csv: str | Path, batch_size: int,
@@ -355,6 +373,16 @@ def make_handler(service: ScoringService):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                try:
+                    self._json(200, {"reloaded_from": service.reload()})
+                except RuntimeError as e:
+                    self._json(409, {"error": str(e)})
+                except FileNotFoundError as e:
+                    self._json(404, {"error": str(e)})
+                except Exception as e:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/score":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return

@@ -231,6 +231,49 @@ class BaseTrainer:
 
         self.quick_test = bool(getattr(args, "quick_test", 0))
 
+    def reload_params(self, epoch: Optional[int] = None):
+        """Re-read the run's checkpoint (newest/best, or an explicit epoch) into
+        self.state — the serving hot-reload hook (framework extension). Only
+        params (and the EMA slot when --use_ema) matter to consumers of
+        `model_fn`; the full saved tree is restored because orbax templates
+        must match the saved structure exactly (same contract as __init__'s
+        resume block above). Returns the checkpoint path."""
+        path = ckpt.find_checkpoint(
+            self.run_dir, int(epoch) if epoch is not None else None
+        )
+        if path is None:
+            raise FileNotFoundError(
+                f"No checkpoint under {self.run_dir}"
+                + (f" for epoch {epoch}" if epoch is not None else "")
+            )
+        ckpt.check_numerics_version(self.run_dir)
+        template = {
+            "epoch": 0,
+            "global_step": 0,
+            "best_loss": 0.0,
+            "model_state_dict": ckpt.to_host(self.state.params),
+            "optimizer_state_dict": ckpt.to_host(self.state.opt_state),
+        }
+        ckpt_has_ema = "ema_model_state_dict" in ckpt.checkpoint_keys(path)
+        if ckpt_has_ema:
+            template["ema_model_state_dict"] = ckpt.to_host(self.state.params)
+        if self.use_ema and not ckpt_has_ema:
+            raise RuntimeError(
+                f"--use_ema requested but checkpoint {path} has no "
+                f"ema_model_state_dict"
+            )
+        if jax.process_count() > 1:
+            template = ckpt.replicated_restore_template(self.mesh, template)
+        payload = ckpt.restore_checkpoint(path, template)
+        new_params = (
+            payload["ema_model_state_dict"] if self.use_ema
+            else payload["model_state_dict"]
+        )
+        self.state = self.state.replace(params=new_params)
+        self.start_epoch = int(payload["epoch"])
+        info(f"Hot-reloaded weights from {path} (epoch {self.start_epoch})")
+        return path
+
     # -- stage-2 hooks (pixel-space: identity) ------------------------------------
     # weights are bound via jax.tree_util.Partial so jitted consumers receive
     # them as TRACED arguments — closing over them would embed every weight as

@@ -108,8 +108,23 @@ def main(argv=None) -> None:
     val_csv = args.results_val or (
         pathlib.Path(args.output_dir) / args.model_name / "ood" / "results_val.csv"
     )
-    service = ScoringService.from_val_csv(
-        program, val_csv, args.batch_size, model_name=args.model_name
+
+    def reload_fn():
+        # re-read the run's newest/best checkpoint and swap the bound weights;
+        # compiled sweeps are reused (weights are traced args, docs/DESIGN.md)
+        path = trainer.reload_params(
+            int(args.ddpm_checkpoint_epoch) if args.ddpm_checkpoint_epoch else None
+        )
+        program.model_fn = trainer.model_fn
+        return str(path)
+
+    import pandas as pd
+
+    from ddpm_ood_tpu.ood.score import dedup
+
+    service = ScoringService(
+        program, dedup(pd.read_csv(val_csv)), args.batch_size,
+        model_name=args.model_name, reload_fn=reload_fn,
     )
     if args.batch_window_ms > 0:
         from ddpm_ood_tpu.serve import BatchingScoringService

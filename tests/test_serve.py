@@ -240,6 +240,14 @@ def test_http_round_trip(service):
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
         assert e.value.code == 404
 
+        # /reload without a hook -> 409 (the fixture service has none)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload", data=b"", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 409
+
         # ops counters: the one successful POST above scored 2 images in 1 sweep
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as r:
             stats = json.loads(r.read())
