@@ -20,11 +20,22 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
+from . import _native
 from .csv_splits import get_data_dicts, partition_for_process
 from .transforms import TransformChain
 
 
 class CachedDataset:
+    """RAM-cached (or lazy) transformed dataset.
+
+    The cache fill prefers the native C++ core (csrc/dataload.cpp): one
+    OpenMP-parallel call decodes + transforms every .npy/.nii[.gz] item —
+    the counterpart of MONAI CacheDataset's worker pool, without per-item
+    Python dispatch. Items the native core can't handle (png via PIL,
+    exotic dtypes, decode errors) fall back to the Python TransformChain
+    one-by-one, so behavior is format-for-format identical.
+    """
+
     def __init__(self, data_dicts: List[Dict[str, str]], transform: TransformChain, cache: bool = True, num_workers: int = 8):
         self.data_dicts = data_dicts
         self.transform = transform
@@ -32,14 +43,39 @@ class CachedDataset:
         self._items: Optional[List[np.ndarray]] = None
         if cache and data_dicts:
             workers = max(1, min(num_workers, len(data_dicts)))
-            with cf.ThreadPoolExecutor(workers) as pool:
-                self._items = list(pool.map(lambda d: transform(d["image"]), data_dicts))
+            self._items = self._native_fill(workers)
+            if self._items is None:
+                with cf.ThreadPoolExecutor(workers) as pool:
+                    self._items = list(pool.map(lambda d: transform(d["image"]), data_dicts))
+
+    def _native_fill(self, workers: int) -> Optional[List[np.ndarray]]:
+        paths = [d["image"] for d in self.data_dicts]
+        if not _native.available() or not all(_native.supports(p) for p in paths):
+            return None
+        batch, errs = _native.transform_batch(paths, self.transform, num_threads=workers)
+        if batch.size == 0 and np.any(errs != 0):
+            return None  # nothing decoded natively; use the Python pool
+        items: List[np.ndarray] = []
+        for i, p in enumerate(paths):
+            if errs[i] == 0:
+                items.append(batch[i])
+            else:  # per-item Python fallback (e.g. a heterogeneous-shape item)
+                items.append(self.transform(p))
+        return items
 
     def __len__(self) -> int:
         return len(self.data_dicts)
 
+    def _transform_one(self, path: str) -> np.ndarray:
+        if _native.available() and _native.supports(path):
+            try:
+                return _native.transform_item(path, self.transform)
+            except (RuntimeError, _native.NativeLoaderError):
+                pass
+        return self.transform(path)
+
     def __getitem__(self, i: int):
-        img = self._items[i] if self._items is not None else self.transform(self.data_dicts[i]["image"])
+        img = self._items[i] if self._items is not None else self._transform_one(self.data_dicts[i]["image"])
         return {"image": img, "filename": self.data_dicts[i]["image"]}
 
 
