@@ -114,7 +114,25 @@ class DataLoader:
         return [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
 
     def _assemble(self, indices: np.ndarray) -> Dict:
-        items = [self.dataset[int(i)] for i in indices]
+        ds = self.dataset
+        filenames = [ds.data_dicts[int(i)]["image"] for i in indices]
+        # Uncached datasets re-decode every epoch (the reference's
+        # `cache_data=0` / MONAI Dataset mode — the RUNBOOK 3D recipes): decode
+        # the whole batch in ONE native OpenMP call instead of per-item Python.
+        if (
+            getattr(ds, "_items", None) is None
+            and _native.available()
+            and all(_native.supports(p) for p in filenames)
+        ):
+            batch, errs = _native.transform_batch(
+                filenames, ds.transform, num_threads=len(filenames)
+            )
+            if not np.any(errs != 0):
+                return {
+                    "image": batch.astype(np.float32, copy=False),
+                    "filename": filenames,
+                }
+        items = [ds[int(i)] for i in indices]
         images = np.stack([it["image"] for it in items]).astype(np.float32)
         return {"image": images, "filename": [it["filename"] for it in items]}
 

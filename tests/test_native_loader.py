@@ -264,3 +264,44 @@ class TestLoaderIntegration:
         chain = TransformChain(spatial_dimension=2)
         ds = CachedDataset(dicts, chain, cache=False)
         np.testing.assert_array_equal(ds[0]["image"], chain(dicts[0]["image"]))
+
+    def test_uncached_loader_batches_match_cached(self, tmp_path):
+        from ddpm_ood_tpu.data.loader import DataLoader
+
+        dicts = self._make_dataset(tmp_path, n=6)
+        chain = TransformChain(spatial_dimension=2, image_size=16)
+        uncached = DataLoader(
+            CachedDataset(dicts, chain, cache=False), batch_size=4, shuffle=False
+        )
+        cached = DataLoader(
+            CachedDataset(dicts, chain, cache=True), batch_size=4, shuffle=False
+        )
+        for bu, bc in zip(uncached, cached):
+            np.testing.assert_array_equal(bu["image"], bc["image"])
+            assert bu["filename"] == bc["filename"]
+
+    def test_uncached_loader_mixed_shapes_falls_back(self, tmp_path):
+        from ddpm_ood_tpu.data.loader import DataLoader
+
+        dicts = self._make_dataset(tmp_path, n=2)
+        odd = tmp_path / "odd9.npy"
+        np.save(odd, np.random.default_rng(40).random((1, 12, 12), dtype=np.float32))
+        # corrupt one file so the native batch flags it and Python must serve it
+        bad = tmp_path / "bad9.npy"
+        np.save(bad, np.random.default_rng(41).random((1, 12, 12), dtype=np.float32))
+        raw = bytearray(bad.read_bytes())
+        raw[:6] = b"broken"
+        bad.write_bytes(bytes(raw))
+        dicts.append({"image": str(odd)})
+        chain = TransformChain(spatial_dimension=2)
+        loader = DataLoader(CachedDataset(dicts, chain, cache=False), batch_size=3)
+        (batch,) = list(loader)
+        assert batch["image"].shape == (3, 1, 12, 12)
+        # a batch containing the corrupt file raises from the Python fallback
+        loader_bad = DataLoader(
+            CachedDataset(dicts[:2] + [{"image": str(bad)}], chain, cache=False),
+            batch_size=3,
+            prefetch=False,
+        )
+        with pytest.raises(ValueError):
+            list(loader_bad)
