@@ -21,7 +21,39 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import subprocess
+import sys
 import time
+
+
+def _probe_backend_or_fall_back_to_cpu(timeout_s: int = 180) -> None:
+    """Guard against a wedged TPU tunnel: device init through the axon relay
+    can hang indefinitely (observed: jax.devices() blocked >25 min on an
+    established-but-silent relay connection). A hang here would leave the
+    round without a bench line at all, so probe the backend in a SUBPROCESS
+    (a hung C-level init can't be interrupted in-process) and force the CPU
+    platform if it doesn't come up in time."""
+    if os.environ.get("BENCH_SKIP_PROBE"):
+        return
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    if rc != 0:
+        print(
+            f"bench.py: backend probe failed (rc={rc}); falling back to CPU",
+            file=sys.stderr,
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+_probe_backend_or_fall_back_to_cpu()
 
 import jax
 import jax.numpy as jnp
