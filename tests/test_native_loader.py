@@ -160,6 +160,40 @@ class TestItemParity:
         assert got.shape == (1, 16, 16, 16)
 
 
+class TestNpyFuzz:
+    """Property test: the C++ npy decoder agrees with np.load across random
+    dtype/shape/order/endianness combinations (seeded, deterministic)."""
+
+    def test_random_npy_roundtrips(self, tmp_path):
+        rng = np.random.default_rng(1234)
+        dtypes = ["<f4", "<f8", "|u1", "|i1", "<i2", "<u2", "<i4", "<u4",
+                  "<i8", ">f4", ">i2", ">u2", ">f8", ">i4"]
+        for case in range(60):
+            sdim = int(rng.integers(2, 4))
+            # rank S (spatial only) or S+1 (with channel axis)
+            if rng.random() < 0.5:
+                shape = tuple(int(s) for s in rng.integers(1, 9, sdim))
+            else:
+                c = int(rng.choice([1, 3, 4]))
+                shape = (c,) + tuple(int(s) for s in rng.integers(5, 9, sdim))
+            dt = np.dtype(str(rng.choice(dtypes)))
+            if dt.kind == "f":
+                arr = (rng.random(shape) * 100 - 50).astype(dt)
+            else:
+                info = np.iinfo(dt)
+                lo, hi = max(info.min, -1000), min(info.max, 1000)
+                arr = rng.integers(lo, hi + 1, shape).astype(dt)
+            if rng.random() < 0.3:
+                arr = np.asfortranarray(arr)
+            p = tmp_path / f"fuzz_{case}.npy"
+            np.save(p, arr)
+            chain = TransformChain(spatial_dimension=sdim)
+            ref = chain(str(p))
+            got = _native.transform_item(str(p), chain)
+            assert got.shape == ref.shape, (case, shape, dt)
+            np.testing.assert_array_equal(got, ref, err_msg=f"case {case} {shape} {dt}")
+
+
 class TestErrors:
     def test_missing_file(self):
         with pytest.raises(_native.NativeLoaderError):
