@@ -25,20 +25,27 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # build to a per-process temp path, then rename atomically: concurrent
+    # processes (multi-host training) may race this build, and a half-written
+    # .so must never be dlopen'd
+    import os
+
+    tmp = _LIB_PATH.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_LIB_PATH),
+        str(_SRC), "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
     except Exception:
         try:  # retry without OpenMP (still correct, single-threaded)
             cmd.remove("-fopenmp")
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            return True
         except Exception:
+            tmp.unlink(missing_ok=True)
             return False
+    os.replace(tmp, _LIB_PATH)
+    return True
 
 
 def _load() -> Optional[ctypes.CDLL]:
