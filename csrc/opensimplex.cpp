@@ -482,6 +482,35 @@ void opensimplex3_fixed_t_grid(int64_t seed, double T, int64_t H, int64_t W,
     }
 }
 
+// Batched fixed-T planes: out[n*H*W], one (seed, T) pair per plane.
+// Parallelizes ACROSS planes (each plane is small at scoring geometry, so
+// the per-plane loop above under-fills the thread pool); seeds are drawn by
+// the caller in reference RNG order, so results are bit-identical to n
+// sequential opensimplex3_fixed_t_grid calls.
+void opensimplex3_fixed_t_grid_batch(const int64_t* seeds, const double* Ts,
+                                     int64_t n, int64_t H, int64_t W,
+                                     int64_t octaves, double persistence,
+                                     double frequency, double* out) {
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t k = 0; k < n; k++) {
+        Ctx ctx;
+        init_ctx(&ctx, seeds[k]);
+        double* o_k = out + k * H * W;
+        for (int64_t i = 0; i < H; i++) {
+            for (int64_t j = 0; j < W; j++) {
+                double freq = frequency, amp = 1.0, v = 0.0;
+                for (int64_t o = 0; o < octaves; o++) {
+                    v += amp * noise3(&ctx, (double)j / freq, (double)i / freq,
+                                      Ts[k] / freq);
+                    freq /= 2.0;
+                    amp *= persistence;
+                }
+                o_k[i * W + j] = v;
+            }
+        }
+    }
+}
+
 // Fill out[D*H*W] with 3D fractal noise (rand_3d_octaves parity,
 // reference simplex_noise.py:105-121: axes ordered z,y,x -> noise3array(x,y,z)).
 void opensimplex3_grid(int64_t seed, int64_t D, int64_t H, int64_t W,

@@ -65,12 +65,16 @@ def _load() -> Optional[ctypes.CDLL]:
         i64, f64 = ctypes.c_int64, ctypes.c_double
         dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         sptr = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        iptr = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.opensimplex3_fixed_t_grid.argtypes = [i64, f64, i64, i64, i64, f64, f64, dptr]
+        lib.opensimplex3_fixed_t_grid_batch.argtypes = [
+            iptr, dptr, i64, i64, i64, i64, f64, f64, dptr,
+        ]
         lib.opensimplex3_grid.argtypes = [i64, i64, i64, i64, i64, f64, f64, dptr]
         lib.opensimplex2_grid.argtypes = [i64, i64, i64, i64, f64, f64, dptr]
         lib.opensimplex_perm.argtypes = [i64, sptr, sptr]
-        for f in (lib.opensimplex3_fixed_t_grid, lib.opensimplex3_grid,
-                  lib.opensimplex2_grid, lib.opensimplex_perm):
+        for f in (lib.opensimplex3_fixed_t_grid, lib.opensimplex3_fixed_t_grid_batch,
+                  lib.opensimplex3_grid, lib.opensimplex2_grid, lib.opensimplex_perm):
             f.restype = None
         _lib = lib
         return _lib
@@ -88,6 +92,27 @@ def noise3_fixed_t_grid(seed: int, t: float, shape: tuple[int, int],
     out = np.empty(shape, dtype=np.float64)
     lib.opensimplex3_fixed_t_grid(
         int(seed), float(t), shape[0], shape[1], int(octaves),
+        float(persistence), float(frequency), out,
+    )
+    return out
+
+
+def noise3_fixed_t_grid_batch(
+    seeds: np.ndarray, ts: np.ndarray, shape: tuple[int, int],
+    octaves: int, persistence: float, frequency: float,
+) -> np.ndarray:
+    """n fixed-T planes in one OpenMP-parallel call; bit-identical to n
+    sequential noise3_fixed_t_grid calls with the same (seed, T) pairs."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native opensimplex library unavailable")
+    seeds = np.ascontiguousarray(np.asarray(seeds, dtype=np.int64))
+    ts = np.ascontiguousarray(np.asarray(ts, dtype=np.float64))
+    n = seeds.shape[0]
+    assert ts.shape[0] == n
+    out = np.empty((n, shape[0], shape[1]), dtype=np.float64)
+    lib.opensimplex3_fixed_t_grid_batch(
+        seeds, ts, n, shape[0], shape[1], int(octaves),
         float(persistence), float(frequency), out,
     )
     return out

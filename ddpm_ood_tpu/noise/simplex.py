@@ -114,6 +114,30 @@ def generate_simplex_noise(
         plane = spatial
     t = np.asarray(t).reshape(-1)
     noise = np.empty((b,) + spatial + (c,), dtype=np.float32)
+
+    # Fixed-parameter fast path: per-plane seeds MUST be drawn serially in the
+    # reference's (channel, batch) order (each comes from the global numpy RNG
+    # stream), but plane GENERATION is independent — one OpenMP call renders
+    # all b*c planes in parallel, bit-identical to the sequential loop.
+    if not random_param and b * c > 1 and _native.available():
+        seeds = np.empty(c * b, dtype=np.int64)
+        ts = np.empty(c * b, dtype=np.float64)
+        for i in range(c):
+            for j in range(b):
+                simplex.newSeed()
+                seeds[i * b + j] = simplex.seed
+                ts[i * b + j] = float(t[j])
+        planes = _native.noise3_fixed_t_grid_batch(
+            seeds, ts, (int(plane[0]), int(plane[1])), octave, persistence, frequency
+        ).astype(np.float32)
+        for i in range(c):
+            for j in range(b):
+                pn = planes[i * b + j]
+                noise[j, ..., i] = (
+                    np.broadcast_to(pn, spatial) if len(spatial) != 2 else pn
+                )
+        return noise
+
     for i in range(c):
         for j in range(b):
             simplex.newSeed()
