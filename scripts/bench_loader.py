@@ -109,6 +109,40 @@ def main():
         CachedDataset(d2, TransformChain(spatial_dimension=2, image_size=32),
                       cache=True, num_workers=args.workers)
         print(f"CachedDataset(2D, native auto): {time.perf_counter() - t0:.3f}s")
+
+        # uncached per-epoch batch decode (--cache_data=0 mode): native batch
+        # call vs the per-item Python loop
+        import os
+
+        from ddpm_ood_tpu.data.loader import DataLoader
+
+        chain3 = TransformChain(
+            spatial_dimension=3, is_grayscale=True, image_roi=[64, 64, 64],
+            image_size=32,
+        )
+        loader = DataLoader(
+            CachedDataset(d3, chain3, cache=False), batch_size=8,
+            shuffle=False, prefetch=False,
+        )
+        t0 = time.perf_counter()
+        for b in loader:
+            pass
+        tn = time.perf_counter() - t0
+        os.environ["DDPM_OOD_TPU_NATIVE_LOADER"] = "0"
+        _native._lib = None
+        try:
+            t0 = time.perf_counter()
+            for b in loader:
+                pass
+            tp = time.perf_counter() - t0
+        finally:
+            del os.environ["DDPM_OOD_TPU_NATIVE_LOADER"]
+            _native._lib = None
+        n3 = len(d3)
+        print(
+            f"uncached 3D epoch (cache_data=0): native {tn:.3f}s ({n3 / tn:.1f} it/s)  "
+            f"python {tp:.3f}s ({n3 / tp:.1f} it/s)  speedup {tp / tn:.2f}x"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
