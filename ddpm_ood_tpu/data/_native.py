@@ -22,7 +22,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-_SRC = Path(__file__).resolve().parent.parent.parent / "csrc" / "dataload.cpp"
+_SRC = Path(__file__).resolve().parent.parent / "csrc" / "dataload.cpp"
 _LIB_PATH = Path(__file__).resolve().parent / "_libdataload.so"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

@@ -17,7 +17,7 @@ from typing import Optional
 
 import numpy as np
 
-_SRC = Path(__file__).resolve().parent.parent.parent / "csrc" / "opensimplex.cpp"
+_SRC = Path(__file__).resolve().parent.parent / "csrc" / "opensimplex.cpp"
 _LIB_PATH = Path(__file__).resolve().parent / "_libopensimplex.so"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
