@@ -114,6 +114,16 @@ def zscore_against_val(
 ) -> pd.DataFrame:
     """Per-t val mean/std -> z_score_<target> columns (reference :150-161)."""
     df = results_df.copy()
+    # ddof=1 std is NaN for single-row t-groups (the reference behaves the
+    # same); downstream AUROCs then silently degrade — warn loudly instead
+    thin = val_df.groupby("t").size()
+    thin = thin[thin < 2]
+    if len(thin):
+        print(
+            "WARNING: validation has <2 rows for t="
+            f"{sorted(int(t) for t in thin.index)} — per-t std is undefined "
+            "(NaN z-scores); add validation images or widen t filters"
+        )
     for target in targets:
         agg = (
             val_df.groupby("t")[target]

@@ -193,3 +193,15 @@ def test_run_ood_detection_writes_summary_csv(tmp_path):
     ]
     assert (out["Zscore_mse"] == 1.0).all()
     assert "fpr95" in out.columns
+
+
+def test_thin_validation_t_group_warns(capsys):
+    from ddpm_ood_tpu.ood.score import zscore_against_val
+
+    val = _df(["v1", "v2", "v3"], ["val"] * 3, [100, 100, 200], [0.1, 0.2, 0.15])
+    rows = _df(["i1"], ["in"], [200], [0.5])
+    out = zscore_against_val(rows, val, targets=("mse",))
+    captured = capsys.readouterr().out
+    assert "t=[200]" in captured and "WARNING" in captured
+    # the thin group's z is NaN (reference-parity ddof=1), the rest well-defined
+    assert out["z_score_mse"].isna().all()
