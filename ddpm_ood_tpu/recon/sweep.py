@@ -272,6 +272,56 @@ class ReconProgram:
         )
         self._compiled: Dict[Tuple, Callable] = {}
 
+    # -- concurrent cold-start compilation ---------------------------------------
+    def warmup(self, example_images: jnp.ndarray, parallel: bool = True) -> float:
+        """Pre-compile every lane-group program, concurrently.
+
+        A cold start compiles one program per lane group (8-16 at the default
+        grouping); through a remote-compile tunnel each costs 30-90 s and they
+        are independent, so threads overlap the round trips (jax compilation
+        is thread-safe). Each jit wrapper is warmed by one dispatch on
+        `example_images` — pass an array shaped/sharded exactly like the real
+        batches (contents irrelevant; execution is async and discarded) — and
+        stored in `_compiled` under the key `__call__` will look up, which
+        then dispatches with zero further compiles. Single-process only: the
+        multi-process path owns its own compile-then-barrier choreography
+        (see `__call__`). Returns the wall seconds spent; already-compiled
+        groups are skipped.
+        """
+        if self.sampler == "plms_ref":
+            return 0.0  # one sequential program; nothing to parallelize
+        if self.out_mesh is not None and jax.process_count() > 1:
+            raise RuntimeError("warmup() is single-process only")
+        import concurrent.futures as cf
+        import time
+
+        t0 = time.perf_counter()
+
+        def compile_group(group):
+            ts_desc, t_starts = group
+            key = (ts_desc.shape[0], t_starts.shape[0], example_images.shape)
+            if key in self._compiled:
+                return
+            fn = self._build(ts_desc, t_starts)
+            if self.host_noise_fn is not None:
+                arg = jnp.zeros(
+                    (len(t_starts), int(example_images.shape[0]))
+                    + tuple(self.latent_sample_shape),
+                    jnp.float32,
+                )
+            else:  # same key type __call__'s jax.random.split produces
+                arg = jax.random.split(jax.random.PRNGKey(0))[0]
+            fn(self.model_fn, self.encode_fn, self.decode_fn, example_images, arg)
+            self._compiled[key] = fn
+
+        if parallel and len(self._groups) > 1:
+            with cf.ThreadPoolExecutor(min(8, len(self._groups))) as pool:
+                list(pool.map(compile_group, self._groups))
+        else:
+            for g in self._groups:
+                compile_group(g)
+        return time.perf_counter() - t0
+
     # -- jitted per-group program ------------------------------------------------
     def _build(self, ts_desc: np.ndarray, t_starts: np.ndarray):
         ts_desc_j = jnp.asarray(ts_desc)

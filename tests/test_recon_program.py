@@ -175,3 +175,53 @@ def test_program_simplex_noise_path(sched):
     images = jnp.zeros((2, 8, 8, 1))
     _, mse, _ = prog(images, jax.random.PRNGKey(3))
     assert np.isfinite(np.asarray(mse)).all()
+
+
+def test_warmup_precompiles_and_matches_lazy(sched):
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.uniform(size=(3, 8, 8, 1)).astype(np.float32))
+
+    warm = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=3, num_groups=2,
+    )
+    secs = warm.warmup(jnp.zeros_like(images))
+    assert secs > 0 and len(warm._compiled) == len(warm._groups)
+    keys_after_warmup = set(warm._compiled)
+    _, mse_w, perc_w = warm(images, jax.random.PRNGKey(1))
+    # __call__ found every group already compiled — no new cache keys
+    assert set(warm._compiled) == keys_after_warmup
+
+    lazy = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=3, num_groups=2,
+    )
+    _, mse_l, perc_l = lazy(images, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(mse_w), np.asarray(mse_l))
+    np.testing.assert_array_equal(np.asarray(perc_w), np.asarray(perc_l))
+
+
+def test_warmup_host_noise_path(sched):
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(rng.uniform(size=(2, 8, 8, 1)).astype(np.float32))
+
+    def host_noise(shape, t_starts):
+        return np.ones(shape, np.float32)
+
+    prog = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=3, num_groups=2,
+        host_noise_fn=host_noise, latent_sample_shape=(8, 8, 1),
+    )
+    prog.warmup(jnp.zeros_like(images))
+    keys = set(prog._compiled)
+    prog(images, jax.random.PRNGKey(0))
+    assert set(prog._compiled) == keys  # host-noise arg shape matched too
+
+
+def test_warmup_plms_ref_noop(sched):
+    prog = ReconProgram(
+        sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+        inference_skip_factor=3, sampler="plms_ref",
+    )
+    assert prog.warmup(jnp.zeros((2, 8, 8, 1))) == 0.0
