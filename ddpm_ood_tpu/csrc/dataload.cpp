@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -638,13 +639,22 @@ void resize_linear(Arr& a, int64_t target, int64_t S) {
   }
 }
 
-// ScaleIntensityd parity: float32 arithmetic (NumPy-2 weak-scalar semantics)
+// ScaleIntensityd parity: float32 arithmetic (NumPy-2 weak-scalar semantics).
+// NaN inputs poison min/max in NumPy (x.min() is NaN -> every output element
+// is NaN); std::min/max would silently skip them, so track NaN explicitly.
 void scale_intensity(Arr& a) {
   if (a.data.empty()) return;
   float lo = a.data[0], hi = a.data[0];
+  bool has_nan = false;
   for (float v : a.data) {
+    has_nan = has_nan || std::isnan(v);
     lo = std::min(lo, v);
     hi = std::max(hi, v);
+  }
+  if (has_nan) {
+    std::fill(a.data.begin(), a.data.end(),
+              std::numeric_limits<float>::quiet_NaN());
+    return;
   }
   if (static_cast<double>(hi) - static_cast<double>(lo) < 1e-12) {
     std::fill(a.data.begin(), a.data.end(), 0.0f);

@@ -106,6 +106,18 @@ class TestItemParity:
         got = _check(p, TransformChain(spatial_dimension=2), exact=True)
         assert np.all(got == 0.0)
 
+    def test_nan_voxels_poison_like_numpy(self, tmp_path):
+        # NumPy min/max propagate NaN, so one NaN voxel makes the whole scaled
+        # image NaN — the native path must match, not silently skip NaNs
+        arr = np.random.default_rng(50).random((1, 6, 6)).astype(np.float32)
+        arr[0, 2, 3] = np.nan
+        p = tmp_path / "nan.npy"
+        np.save(p, arr)
+        chain = TransformChain(spatial_dimension=2)
+        ref = chain(str(p))
+        got = _native.transform_item(str(p), chain)
+        assert np.isnan(ref).all() and np.isnan(got).all()
+
     def test_nifti_3d_roundtrip(self, tmp_path):
         rng = np.random.default_rng(9)
         p = tmp_path / "v.nii.gz"
