@@ -120,6 +120,11 @@ struct ByteSource {
       int rc = inflate(&strm, Z_NO_FLUSH);
       out.resize(old + (chunk - strm.avail_out));
       if (rc == Z_STREAM_END) {
+        // multi-member archives (bgzip-style concatenated gzip, which
+        // nibabel/Python gzip read transparently): reset and keep inflating
+        if (strm.avail_in > 0 && inflateReset(&strm) == Z_OK) {
+          continue;
+        }
         done = true;
       } else if (rc != Z_OK) {
         failed = out.size() < want;

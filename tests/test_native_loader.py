@@ -153,6 +153,22 @@ class TestItemParity:
         save_nifti(p, rng.random((7, 6, 5)).astype(np.float32))
         _check(p, TransformChain(spatial_dimension=3), exact=True)
 
+    def test_nifti_multimember_gzip(self, tmp_path):
+        # bgzip-style concatenated gzip members: Python's gzip reads them
+        # transparently; the native inflate must too (inflateReset per member)
+        rng = np.random.default_rng(15)
+        plain = tmp_path / "m.nii"
+        save_nifti(plain, rng.random((10, 9, 8)).astype(np.float32))
+        raw = plain.read_bytes()
+        third = len(raw) // 3
+        p = tmp_path / "m.nii.gz"
+        p.write_bytes(
+            gzip.compress(raw[:third])
+            + gzip.compress(raw[third : 2 * third])
+            + gzip.compress(raw[2 * third :])
+        )
+        _check(p, TransformChain(spatial_dimension=3), exact=True)
+
     def test_roi_none_and_oversize_entries(self, tmp_path):
         rng = np.random.default_rng(13)
         p = tmp_path / "r.npy"
