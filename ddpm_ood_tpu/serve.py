@@ -75,6 +75,32 @@ def build_recon_program(
     )
 
 
+def warmup_program(program: ReconProgram, args, batch_size: int) -> float:
+    """Pre-compile every sweep group for the serving geometry (the images the
+    service will receive: `(batch, *spatial, C)` floats). Returns seconds
+    spent, or -1.0 when the geometry can't be derived from args (no
+    image_size/image_roi) — the first request then pays the compiles.
+    Concurrent compilation is opt-in via DDPM_OOD_TPU_PARALLEL_COMPILE=1
+    (see ReconProgram.warmup)."""
+    import os
+
+    spatial = None
+    if getattr(args, "image_size", None):
+        spatial = (int(args.image_size),) * int(
+            getattr(args, "spatial_dimension", 2)
+        )
+    elif getattr(args, "image_roi", None):
+        spatial = tuple(int(s) for s in args.image_roi)
+    if spatial is None:
+        return -1.0
+    channels = 1 if getattr(args, "is_grayscale", 0) else 3
+    example = np.zeros((int(batch_size),) + spatial + (channels,), np.float32)
+    return program.warmup(
+        example,
+        parallel=os.environ.get("DDPM_OOD_TPU_PARALLEL_COMPILE", "") == "1",
+    )
+
+
 class ScoringService:
     """Score images against a trained run's validation statistics.
 

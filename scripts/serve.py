@@ -126,27 +126,12 @@ def main(argv=None) -> None:
         program, dedup(pd.read_csv(val_csv)), args.batch_size,
         model_name=args.model_name, reload_fn=reload_fn,
     )
-    # compile every sweep group BEFORE accepting requests (concurrently —
-    # through a remote-compile tunnel the independent group compiles dominate
-    # cold start); the first request then runs at warm latency
-    spatial = None
-    if args.image_size:
-        spatial = (int(args.image_size),) * args.spatial_dimension
-    elif getattr(args, "image_roi", None):
-        spatial = tuple(int(s) for s in args.image_roi)
-    if spatial is not None:
-        import numpy as np
-        import os
+    # compile every sweep group BEFORE accepting requests so the first
+    # request runs at warm latency (concurrent compiles opt-in — see helper)
+    from ddpm_ood_tpu.serve import warmup_program
 
-        channels = 1 if args.is_grayscale else 3
-        example = np.zeros((args.batch_size,) + spatial + (channels,), np.float32)
-        # concurrent compiles are opt-in until the tunnel's remote-compile
-        # helper is proven thread-safe (DDPM_OOD_TPU_PARALLEL_COMPILE=1);
-        # sequential pre-compile still moves the cost before the first request
-        secs = program.warmup(
-            example,
-            parallel=os.environ.get("DDPM_OOD_TPU_PARALLEL_COMPILE", "") == "1",
-        )
+    secs = warmup_program(program, args, args.batch_size)
+    if secs >= 0:
         print(f"warm: compiled {len(program._compiled)} sweep groups in {secs:.1f}s")
     if args.batch_window_ms > 0:
         from ddpm_ood_tpu.serve import BatchingScoringService

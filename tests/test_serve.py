@@ -358,3 +358,29 @@ def test_batching_spills_requests_beyond_capacity(program):
         assert sum(calls) == 5
     finally:
         svc.close()
+
+
+def test_warmup_program_precompiles_for_service_geometry():
+    import argparse
+
+    from ddpm_ood_tpu.serve import warmup_program
+
+    def fresh():
+        sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+        return ReconProgram(
+            sched=sched,
+            model_fn=jax.tree_util.Partial(lambda w, x, t: w * x, jnp.float32(0.1)),
+            num_inference_steps=10, inference_skip_factor=3, num_groups=2,
+        )
+
+    prog = fresh()
+    args = argparse.Namespace(image_size=8, spatial_dimension=2, is_grayscale=1)
+    secs = warmup_program(prog, args, batch_size=2)
+    assert secs >= 0 and len(prog._compiled) == len(prog._groups)
+    # roi-shaped geometry and an underivable one
+    prog2 = fresh()
+    args_roi = argparse.Namespace(image_size=None, image_roi=[8, 8], is_grayscale=1)
+    assert warmup_program(prog2, args_roi, 2) >= 0
+    assert len(prog2._compiled) == len(prog2._groups)
+    args_none = argparse.Namespace(image_size=None, image_roi=None)
+    assert warmup_program(fresh(), args_none, 2) == -1.0
