@@ -433,6 +433,27 @@ def make_handler(service: ScoringService):
 
 
 def serve_forever(service: ScoringService, host: str = "0.0.0.0", port: int = 8700):
+    """Run the HTTP server until SIGTERM/SIGINT; in-flight sweeps finish.
+
+    SIGTERM (the normal orchestrator stop signal) triggers a graceful
+    shutdown: the listener stops accepting, handler threads complete their
+    current request (the sweep lock is never abandoned mid-flight), and the
+    process exits 0 — so rolling restarts never cut a response mid-body.
+    """
+    import signal
+
     server = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"serving OOD scores for {service.model_name} on {host}:{server.server_port}")
+
+    def _graceful(signum, frame):
+        print(f"signal {signum}: draining in-flight requests and shutting down")
+        # shutdown() must not be called from the serve_forever thread itself
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _graceful)
+        signal.signal(signal.SIGINT, _graceful)
+    except ValueError:
+        pass  # not the main thread (tests drive the server directly)
     server.serve_forever()
+    server.server_close()

@@ -384,3 +384,38 @@ def test_warmup_program_precompiles_for_service_geometry():
     assert len(prog2._compiled) == len(prog2._groups)
     args_none = argparse.Namespace(image_size=None, image_roi=None)
     assert warmup_program(fresh(), args_none, 2) == -1.0
+
+
+def test_sigterm_graceful_shutdown(tmp_path):
+    """serve_forever exits cleanly on SIGTERM (rolling-restart contract)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from ddpm_ood_tpu.serve import serve_forever\n"
+        "class S: model_name = 'sigterm_test'\n"
+        "serve_forever(S(), host='127.0.0.1', port=0)\n"
+        "print('CLEAN-EXIT')\n"
+    ) % repo_root
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    try:
+        # wait for the startup banner: only then is the handler registered
+        line = proc.stdout.readline()
+        assert "serving OOD scores" in line, line
+        time.sleep(0.3)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "CLEAN-EXIT" in out and "shutting down" in out
