@@ -37,6 +37,35 @@ def _stem(filename: str) -> str:
     return Path(filename).stem.replace(".nii", "").replace(".gz", "")
 
 
+def _maybe_parallel_warmup(recon, program, loader) -> None:
+    """Compile the sweep's lane-group programs concurrently before the batch
+    loop (recon/sweep.py:ReconProgram.warmup). Opt-in via
+    DDPM_OOD_TPU_PARALLEL_COMPILE=1 until the tunnel's remote-compile helper
+    is proven thread-safe under concurrent compiles (it has returned HTTP 500
+    under load before — docs/DESIGN.md); never under multi-process (the
+    compile-then-barrier path in __call__ owns that case). Tolerates
+    duck-typed recon/loader stand-ins (list-of-batches loaders in tests)."""
+    import os
+
+    dataset = getattr(loader, "dataset", None)
+    if (
+        os.environ.get("DDPM_OOD_TPU_PARALLEL_COMPILE", "") != "1"
+        or program._compiled
+        or jax.process_count() > 1
+        or dataset is None
+        or len(dataset) == 0
+    ):
+        return
+    item_shape = dataset[0]["image"].shape  # (C, *spatial)
+    b0 = min(int(loader.batch_size), len(dataset))
+    example = channels_last(np.zeros((b0,) + tuple(item_shape), dtype=np.float32))
+    secs = program.warmup(recon.shard(example))
+    info(
+        f"parallel-compiled {len(program._compiled)} sweep group "
+        f"programs in {secs:.1f}s"
+    )
+
+
 class Reconstruct(BaseTrainer):
     def __init__(self, args):
         # fail fast BEFORE device/model init: reconstruction without a trained
@@ -157,39 +186,10 @@ class Reconstruct(BaseTrainer):
             )
         )(keys, t_starts)
 
-    def _maybe_parallel_warmup(self, program, loader) -> None:
-        """Compile the sweep's lane-group programs concurrently before the
-        batch loop (recon/sweep.py:ReconProgram.warmup). Opt-in via
-        DDPM_OOD_TPU_PARALLEL_COMPILE=1 until the tunnel's remote-compile
-        helper is proven thread-safe under concurrent compiles (it has
-        returned HTTP 500 under load before — docs/DESIGN.md); never under
-        multi-process (the compile-then-barrier path in __call__ owns that
-        case)."""
-        import os
-
-        enabled = os.environ.get("DDPM_OOD_TPU_PARALLEL_COMPILE", "") == "1"
-        if (
-            not enabled
-            or program._compiled
-            or jax.process_count() > 1
-            or len(loader.dataset) == 0
-        ):
-            return
-        item_shape = loader.dataset[0]["image"].shape  # (C, *spatial)
-        b0 = min(int(loader.batch_size), len(loader.dataset))
-        example = channels_last(
-            np.zeros((b0,) + tuple(item_shape), dtype=np.float32)
-        )
-        secs = program.warmup(self.shard(example))
-        info(
-            f"parallel-compiled {len(program._compiled)} sweep group "
-            f"programs in {secs:.1f}s"
-        )
-
     def get_scores(self, loader, dataset_name: str, inference_skip_factor: int) -> List[dict]:
         info(f"{jax.process_index()}: {dataset_name}")
         program = self._program(inference_skip_factor)
-        self._maybe_parallel_warmup(program, loader)
+        _maybe_parallel_warmup(self, program, loader)
         rng = jax.random.PRNGKey(777 + jax.process_index())
         results: List[dict] = []
         preview_saved = False
