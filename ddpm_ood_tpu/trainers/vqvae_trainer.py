@@ -234,21 +234,36 @@ class VQVAETrainer:
 
     # -------------------------------------------------------------------- train --
     def train(self, args):
-        for epoch in range(self.start_epoch, args.n_epochs):
-            epoch_loss = self.train_epoch(epoch)
-            if epoch_loss < self.best_loss:
-                self.best_loss = epoch_loss
-                self.save_checkpoint(
-                    "checkpoint", epoch,
-                    f"Saving checkpoint for model with best loss {epoch_loss}",
-                )
-            if (epoch + 1) % args.checkpoint_every == 0:
-                self.save_checkpoint(
-                    f"checkpoint_{epoch + 1}", epoch,
-                    f"Saving checkpoint at epoch {epoch + 1}",
-                )
-            if (epoch + 1) % args.eval_freq == 0:
-                self.val_epoch(epoch)
+        from ..utils.preemption import PreemptionGuard
+
+        guard = PreemptionGuard().install()
+        try:
+            for epoch in range(self.start_epoch, args.n_epochs):
+                epoch_loss = self.train_epoch(epoch)
+                if epoch_loss < self.best_loss:
+                    self.best_loss = epoch_loss
+                    self.save_checkpoint(
+                        "checkpoint", epoch,
+                        f"Saving checkpoint for model with best loss {epoch_loss}",
+                    )
+                if (epoch + 1) % args.checkpoint_every == 0:
+                    self.save_checkpoint(
+                        f"checkpoint_{epoch + 1}", epoch,
+                        f"Saving checkpoint at epoch {epoch + 1}",
+                    )
+                if guard.requested:  # SIGTERM (preemption): resume-ready stop
+                    if (epoch + 1) % args.checkpoint_every != 0:
+                        # (a periodic checkpoint of this exact epoch may
+                        # already exist under the same name)
+                        self.save_checkpoint(
+                            f"checkpoint_{epoch + 1}", epoch,
+                            f"Preempted: checkpointed epoch {epoch + 1}, exiting",
+                        )
+                    break
+                if (epoch + 1) % args.eval_freq == 0:
+                    self.val_epoch(epoch)
+        finally:
+            guard.uninstall()
         ckpt.wait_for_checkpoints()
         info("Training completed.")
 

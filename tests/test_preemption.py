@@ -1,0 +1,108 @@
+"""Preemption-graceful training: SIGTERM -> checkpoint -> clean exit -> resume.
+
+Preemptible TPU VMs get SIGTERM with a grace window; the trainers finish the
+current epoch, write the standard `checkpoint_{N}` (what resume discovery
+reads), and exit 0 (utils/preemption.py). The reference's posture is a hard
+kill + manual resume (SURVEY §5: no elasticity).
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ddpm_ood_tpu.data.csv_splits import write_split_csv
+
+REPO = Path(__file__).resolve().parent.parent
+SIZE = 16
+
+
+def _dataset(root: Path, name: str, n: int) -> str:
+    d = root / name
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(n):
+        p = d / f"{name}_{i}.npy"
+        np.save(p, rng.uniform(size=(1, SIZE, SIZE)).astype(np.float32))
+        paths.append(str(p))
+    csv = root / f"{name}.csv"
+    write_split_csv(paths, str(csv))
+    return str(csv)
+
+
+def _train_cmd(root: Path, train_csv: str, val_csv: str, n_epochs: int):
+    code = (
+        f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import runpy\n"
+        f"sys.argv = ['train_ddpm.py',\n"
+        f"  '--output_dir={root}/output', '--model_name=preempt_run',\n"
+        f"  '--training_ids={train_csv}', '--validation_ids={val_csv}',\n"
+        f"  '--image_size={SIZE}', '--model_type=tiny',\n"
+        "  '--beta_schedule=scaled_linear_beta', '--beta_start=0.0015',\n"
+        "  '--beta_end=0.0195', '--batch_size=4',\n"
+        f"  '--n_epochs={n_epochs}', '--eval_freq=1000',\n"
+        "  '--checkpoint_every=1000', '--is_grayscale=1']\n"
+        f"runpy.run_path({str(REPO / 'train_ddpm.py')!r}, run_name='__main__')\n"
+    )
+    return [sys.executable, "-c", code]
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    train_csv = _dataset(tmp_path, "train", 16)
+    val_csv = _dataset(tmp_path, "val", 4)
+    run_dir = tmp_path / "output" / "preempt_run"
+
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    # stdout goes to a FILE, not a pipe: the trainer logs freely (arg echo +
+    # XLA warnings), and an un-drained pipe would deadlock it mid-epoch
+    log_path = tmp_path / "train.log"
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen(
+            _train_cmd(tmp_path, train_csv, val_csv, n_epochs=500),
+            stdout=log, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        try:
+            # wait until at least one epoch completed (the rolling best
+            # `checkpoint` appears after epoch 0)
+            deadline = time.time() + 600  # cold jax compile can take minutes
+            while time.time() < deadline:
+                if (run_dir / "checkpoint").exists():
+                    break
+                assert proc.poll() is None, log_path.read_text()[-4000:]
+                time.sleep(0.5)
+            else:
+                raise AssertionError("no epoch completed within the deadline")
+            time.sleep(1.0)
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=180)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+    out = log_path.read_text()
+
+    assert proc.returncode == 0, out
+    assert "preemption-graceful stop" in out
+    assert "Preempted: checkpointed epoch" in out
+    preempt_ckpts = sorted(
+        int(p.name.split("_")[1])
+        for p in run_dir.glob("checkpoint_*")
+        if p.name.split("_")[1].isdigit()
+    )
+    assert preempt_ckpts, f"no periodic checkpoint written: {out}"
+    n = preempt_ckpts[-1]
+
+    # resume: same command, a few more epochs — must pick up at epoch n
+    out2 = subprocess.run(
+        _train_cmd(tmp_path, train_csv, val_csv, n_epochs=n + 2),
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out2.returncode == 0, out2.stdout + out2.stderr
+    merged = out2.stdout + out2.stderr
+    assert f"at epoch {n}" in merged  # "Resuming training using checkpoint ..."
+    assert "Training completed." in merged
