@@ -109,7 +109,7 @@ struct ByteSource {
         out.resize(old + got);
         if (got < chunk) done = true;
       }
-      return out.size() >= want || done;
+      return out.size() >= want;  // EOF short of `want` is a hard error
     }
     while (out.size() < want && !done) {
       size_t old = out.size();
@@ -251,11 +251,17 @@ int64_t raw_to_float(const uint8_t* raw, int64_t raw_len, DType dt, bool swap,
                      bool fortran, const std::vector<int64_t>& shape, Arr& out) {
   int64_t isz = dtype_itemsize(dt);
   if (isz == 0) return ERR_FORMAT;
+  // overflow-guarded element count: a corrupted header claiming a huge shape
+  // must come back as ERR_FORMAT, not wrap int64 past the raw_len check and
+  // then throw (uncatchable across the extern "C"/OpenMP boundary)
+  const int64_t kMax = std::numeric_limits<int64_t>::max();
   int64_t n = 1;
   for (int64_t s : shape) {
     if (s <= 0) return ERR_FORMAT;
+    if (n > kMax / s) return ERR_FORMAT;
     n *= s;
   }
+  if (n > kMax / isz) return ERR_FORMAT;
   if (raw_len < n * isz) return ERR_IO;
   out.shape = shape;
   out.data.resize(static_cast<size_t>(n));
@@ -688,9 +694,9 @@ void flip_spatial(Arr& a, int64_t axis) {  // axis: 0-based spatial axis
   a.data.swap(out);
 }
 
-int64_t transform_one(const char* path, int64_t spatial_dim, int64_t is_grayscale,
-                      const int64_t* roi, int64_t roi_n, int64_t image_size,
-                      int64_t vflip, int64_t hflip, Arr& a) {
+int64_t transform_one_impl(const char* path, int64_t spatial_dim, int64_t is_grayscale,
+                           const int64_t* roi, int64_t roi_n, int64_t image_size,
+                           int64_t vflip, int64_t hflip, Arr& a) {
   if (spatial_dim != 2 && spatial_dim != 3) return ERR_ARGS;
   std::string p(path);
   int64_t rc;
@@ -712,6 +718,20 @@ int64_t transform_one(const char* path, int64_t spatial_dim, int64_t is_grayscal
   if (vflip) flip_spatial(a, 0);
   if (hflip) flip_spatial(a, 1);
   return OK;
+}
+
+// Exception firewall: a C++ exception must never escape the extern "C" (or
+// OpenMP) boundary — bad_alloc on a legitimately huge volume, length_error on
+// a hostile header, etc. all become ERR_FORMAT for the Python fallback.
+int64_t transform_one(const char* path, int64_t spatial_dim, int64_t is_grayscale,
+                      const int64_t* roi, int64_t roi_n, int64_t image_size,
+                      int64_t vflip, int64_t hflip, Arr& a) {
+  try {
+    return transform_one_impl(path, spatial_dim, is_grayscale, roi, roi_n,
+                              image_size, vflip, hflip, a);
+  } catch (...) {
+    return ERR_FORMAT;
+  }
 }
 
 }  // namespace
@@ -740,18 +760,25 @@ int64_t dl_item(const char* path, int64_t spatial_dim, int64_t is_grayscale,
 
 // Decode + transform a batch in parallel.  `out` must hold n*item_floats
 // floats; every item must produce exactly expect_shape (4 entries, trailing
-// dims 1) or its errs[i] is set to ERR_SHAPE.  Returns the number of failed
-// items (0 = clean); per-item status in errs.
+// dims 1) or its errs[i] is set to ERR_SHAPE.  An item whose errs[i] is
+// preset to DL_SKIP (-100) is skipped (its out row is assumed already
+// filled by the caller — the shape-probe item) and reported as OK.
+// Returns the number of failed items (0 = clean); per-item status in errs.
 int64_t dl_batch(const char** paths, int64_t n, int64_t spatial_dim,
                  int64_t is_grayscale, const int64_t* roi, int64_t roi_n,
                  int64_t image_size, int64_t vflip, int64_t hflip, float* out,
                  int64_t item_floats, const int64_t* expect_shape, int64_t* errs,
                  int64_t num_threads) {
+  const int64_t DL_SKIP = -100;
   int64_t failed = 0;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic) num_threads(static_cast<int>(num_threads > 0 ? num_threads : 1)) reduction(+ : failed)
 #endif
   for (int64_t i = 0; i < n; ++i) {
+    if (errs[i] == DL_SKIP) {
+      errs[i] = OK;
+      continue;
+    }
     Arr a;
     int64_t rc = transform_one(paths[i], spatial_dim, is_grayscale, roi, roi_n,
                                image_size, vflip, hflip, a);

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
@@ -46,29 +45,9 @@ class NativeLoaderError(RuntimeError):
         self.code = code
 
 
-def _build() -> bool:
-    # build to a per-process temp path, then rename atomically: concurrent
-    # processes (multi-host training) may race this build, and a half-written
-    # .so must never be dlopen'd
-    tmp = _LIB_PATH.with_suffix(f".tmp{os.getpid()}.so")
-    cmd = [
-        "g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-lz", "-o", str(tmp),
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except Exception:
-        try:  # retry without OpenMP (still correct, single-threaded)
-            cmd.remove("-fopenmp")
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except Exception:
-            tmp.unlink(missing_ok=True)
-            return False
-    os.replace(tmp, _LIB_PATH)
-    return True
-
-
 def _load() -> Optional[ctypes.CDLL]:
+    from ..utils.native_build import build_and_load
+
     global _lib, _build_failed
     with _lock:
         if _lib is not None:
@@ -77,13 +56,10 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         if os.environ.get("DDPM_OOD_TPU_NATIVE_LOADER", "1") == "0":
             return None
-        if not _LIB_PATH.exists() or (
-            _SRC.exists() and _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
-        ):
-            if not _build():
-                _build_failed = True
-                return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = build_and_load(_SRC, _LIB_PATH, link_flags=("-lz",))
+        if lib is None:
+            _build_failed = True
+            return None
         i64 = ctypes.c_int64
         fptr = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         iptr = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -167,16 +143,20 @@ def transform_batch(
         raise RuntimeError("native loader unavailable")
     sdim, gray, roi, roi_n, size, vf, hf = _chain_params(chain)
 
-    # establish the batch item shape from the first item that decodes
+    # establish the batch item shape from the first item that decodes; its
+    # result is reused as that row (DL_SKIP below), not decoded twice
     first_shape: Optional[Tuple[int, ...]] = None
-    for p in paths:
+    probe_idx = -1
+    item0: Optional[np.ndarray] = None
+    for i, p in enumerate(paths):
         try:
             item0 = transform_item(p, chain)
         except NativeLoaderError:
             continue
         first_shape = item0.shape
+        probe_idx = i
         break
-    if first_shape is None:  # nothing decodable natively
+    if first_shape is None or item0 is None:  # nothing decodable natively
         return (
             np.empty((len(paths), 0), dtype=np.float32),
             np.full(len(paths), -2, dtype=np.int64),
@@ -188,8 +168,10 @@ def transform_batch(
     expect[: len(first_shape)] = first_shape
     out = np.empty((n, item_floats), dtype=np.float32)
     errs = np.zeros(n, dtype=np.int64)
+    out[probe_idx] = item0.reshape(-1)
+    errs[probe_idx] = -100  # DL_SKIP: row pre-filled by the probe
+    threads = min(int(max(1, num_threads)), os.cpu_count() or 1)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
     lib.dl_batch(c_paths, n, sdim, gray, roi, roi_n, size, vf, hf,
-                 out.reshape(-1), item_floats, expect, errs,
-                 int(max(1, num_threads)))
+                 out.reshape(-1), item_floats, expect, errs, threads)
     return out.reshape((n,) + tuple(first_shape)), errs

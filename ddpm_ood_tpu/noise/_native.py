@@ -10,7 +10,6 @@ fall back to the JAX device path (noise/simplex.py).
 from __future__ import annotations
 
 import ctypes
-import subprocess
 import threading
 from pathlib import Path
 from typing import Optional
@@ -24,44 +23,19 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
-def _build() -> bool:
-    # build to a per-process temp path, then rename atomically: concurrent
-    # processes (multi-host training) may race this build, and a half-written
-    # .so must never be dlopen'd
-    import os
-
-    tmp = _LIB_PATH.with_suffix(f".tmp{os.getpid()}.so")
-    cmd = [
-        "g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(tmp),
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except Exception:
-        try:  # retry without OpenMP (still correct, single-threaded)
-            cmd.remove("-fopenmp")
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except Exception:
-            tmp.unlink(missing_ok=True)
-            return False
-    os.replace(tmp, _LIB_PATH)
-    return True
-
-
 def _load() -> Optional[ctypes.CDLL]:
+    from ..utils.native_build import build_and_load
+
     global _lib, _build_failed
     with _lock:
         if _lib is not None:
             return _lib
         if _build_failed:
             return None
-        if not _LIB_PATH.exists() or (
-            _SRC.exists() and _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
-        ):
-            if not _build():
-                _build_failed = True
-                return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = build_and_load(_SRC, _LIB_PATH)
+        if lib is None:
+            _build_failed = True
+            return None
         i64, f64 = ctypes.c_int64, ctypes.c_double
         dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         sptr = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
@@ -88,7 +62,12 @@ def noise3_fixed_t_grid(seed: int, t: float, shape: tuple[int, int],
                         octaves: int, persistence: float, frequency: float) -> np.ndarray:
     lib = _load()
     if lib is None:
-        raise RuntimeError("native opensimplex library unavailable")
+        raise RuntimeError(
+            "native OpenSimplex kernel unavailable (g++ missing?) — install a "
+            "C++ toolchain for the bit-exact kernel, or use "
+            "--simplex_noise_mode=device (reconstruct/serve) for the "
+            "on-device statistical noise"
+        )
     out = np.empty(shape, dtype=np.float64)
     lib.opensimplex3_fixed_t_grid(
         int(seed), float(t), shape[0], shape[1], int(octaves),
@@ -105,7 +84,12 @@ def noise3_fixed_t_grid_batch(
     sequential noise3_fixed_t_grid calls with the same (seed, T) pairs."""
     lib = _load()
     if lib is None:
-        raise RuntimeError("native opensimplex library unavailable")
+        raise RuntimeError(
+            "native OpenSimplex kernel unavailable (g++ missing?) — install a "
+            "C++ toolchain for the bit-exact kernel, or use "
+            "--simplex_noise_mode=device (reconstruct/serve) for the "
+            "on-device statistical noise"
+        )
     seeds = np.ascontiguousarray(np.asarray(seeds, dtype=np.int64))
     ts = np.ascontiguousarray(np.asarray(ts, dtype=np.float64))
     n = seeds.shape[0]
@@ -122,7 +106,12 @@ def noise3_grid(seed: int, shape: tuple[int, int, int], octaves: int,
                 persistence: float, frequency: float) -> np.ndarray:
     lib = _load()
     if lib is None:
-        raise RuntimeError("native opensimplex library unavailable")
+        raise RuntimeError(
+            "native OpenSimplex kernel unavailable (g++ missing?) — install a "
+            "C++ toolchain for the bit-exact kernel, or use "
+            "--simplex_noise_mode=device (reconstruct/serve) for the "
+            "on-device statistical noise"
+        )
     out = np.empty(shape, dtype=np.float64)
     lib.opensimplex3_grid(int(seed), shape[0], shape[1], shape[2], int(octaves),
                           float(persistence), float(frequency), out)
@@ -133,7 +122,12 @@ def noise2_grid(seed: int, shape: tuple[int, int], octaves: int,
                 persistence: float, frequency: float) -> np.ndarray:
     lib = _load()
     if lib is None:
-        raise RuntimeError("native opensimplex library unavailable")
+        raise RuntimeError(
+            "native OpenSimplex kernel unavailable (g++ missing?) — install a "
+            "C++ toolchain for the bit-exact kernel, or use "
+            "--simplex_noise_mode=device (reconstruct/serve) for the "
+            "on-device statistical noise"
+        )
     out = np.empty(shape, dtype=np.float64)
     lib.opensimplex2_grid(int(seed), shape[0], shape[1], int(octaves),
                           float(persistence), float(frequency), out)
@@ -143,7 +137,12 @@ def noise2_grid(seed: int, shape: tuple[int, int], octaves: int,
 def perm_tables(seed: int) -> tuple[np.ndarray, np.ndarray]:
     lib = _load()
     if lib is None:
-        raise RuntimeError("native opensimplex library unavailable")
+        raise RuntimeError(
+            "native OpenSimplex kernel unavailable (g++ missing?) — install a "
+            "C++ toolchain for the bit-exact kernel, or use "
+            "--simplex_noise_mode=device (reconstruct/serve) for the "
+            "on-device statistical noise"
+        )
     perm = np.empty(256, dtype=np.int16)
     grad3 = np.empty(256, dtype=np.int16)
     lib.opensimplex_perm(int(seed), perm, grad3)

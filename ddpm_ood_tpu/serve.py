@@ -84,13 +84,18 @@ def warmup_program(program: ReconProgram, args, batch_size: int) -> float:
     (see ReconProgram.warmup)."""
     import os
 
+    from .trainers.base import _as_tuple
+
     spatial = None
     if getattr(args, "image_size", None):
         spatial = (int(args.image_size),) * int(
             getattr(args, "spatial_dimension", 2)
         )
     elif getattr(args, "image_roi", None):
-        spatial = tuple(int(s) for s in args.image_roi)
+        # the CLI leaves image_roi as a raw string like "[160,160,128]"
+        # (reference ast.literal_eval convention); parse it the same way
+        # BaseTrainer does
+        spatial = tuple(int(s) for s in _as_tuple(args.image_roi))
     if spatial is None:
         return -1.0
     channels = 1 if getattr(args, "is_grayscale", 0) else 3

@@ -234,7 +234,7 @@ class VQVAETrainer:
 
     # -------------------------------------------------------------------- train --
     def train(self, args):
-        from ..utils.preemption import PreemptionGuard
+        from ..utils.preemption import PreemptionGuard, checkpoint_if_preempted
 
         guard = PreemptionGuard().install()
         try:
@@ -251,14 +251,7 @@ class VQVAETrainer:
                         f"checkpoint_{epoch + 1}", epoch,
                         f"Saving checkpoint at epoch {epoch + 1}",
                     )
-                if guard.requested:  # SIGTERM (preemption): resume-ready stop
-                    if (epoch + 1) % args.checkpoint_every != 0:
-                        # (a periodic checkpoint of this exact epoch may
-                        # already exist under the same name)
-                        self.save_checkpoint(
-                            f"checkpoint_{epoch + 1}", epoch,
-                            f"Preempted: checkpointed epoch {epoch + 1}, exiting",
-                        )
+                if checkpoint_if_preempted(guard, self, epoch, args):
                     break
                 if (epoch + 1) % args.eval_freq == 0:
                     self.val_epoch(epoch)

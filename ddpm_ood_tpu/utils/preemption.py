@@ -54,3 +54,17 @@ class PreemptionGuard:
             "checkpointing and exiting cleanly (preemption-graceful stop)"
         )
         self.requested = True
+
+
+def checkpoint_if_preempted(guard: PreemptionGuard, trainer, epoch: int, args) -> bool:
+    """Epoch-loop epilogue shared by both trainers: on a requested stop,
+    write the standard periodic checkpoint (unless this epoch's periodic save
+    just wrote the same name) and return True so the caller breaks."""
+    if not guard.requested:
+        return False
+    if (epoch + 1) % args.checkpoint_every != 0:
+        trainer.save_checkpoint(
+            f"checkpoint_{epoch + 1}", epoch,
+            f"Preempted: checkpointed epoch {epoch + 1}, exiting",
+        )
+    return True

@@ -247,6 +247,25 @@ class TestErrors:
             # rank 4 against spatial_dimension=2 is neither S nor S+1
             _native.transform_item(str(p), TransformChain(spatial_dimension=2))
 
+    def test_hostile_shape_header_errors_not_aborts(self, tmp_path):
+        # a header claiming (2e9, 2e9) must return an error code, not wrap
+        # int64 past the size check and std::terminate on vector::resize
+        p = tmp_path / "huge.npy"
+        np.save(p, np.zeros((2, 2), dtype=np.float32))
+        raw = bytearray(p.read_bytes())
+        hdr = raw[10 : 10 + (raw[8] | (raw[9] << 8))].decode()
+        hdr2 = hdr.replace("(2, 2)", "(2000000000, 2000000000)")
+        raw[10 : 10 + len(hdr)] = hdr2.encode()
+        p.write_bytes(bytes(raw))
+        with pytest.raises(_native.NativeLoaderError):
+            _native.transform_item(str(p), TransformChain(spatial_dimension=2))
+
+    def test_truncated_plain_nifti_errors(self, tmp_path):
+        p = tmp_path / "short.nii"
+        p.write_bytes(b"\x00" * 100)  # shorter than the 348-byte header
+        with pytest.raises(_native.NativeLoaderError):
+            _native.transform_item(str(p), TransformChain(spatial_dimension=3))
+
     def test_unsupported_suffix_rejected(self, tmp_path):
         p = tmp_path / "x.png"
         p.write_bytes(b"\x89PNG")

@@ -384,6 +384,11 @@ def test_warmup_program_precompiles_for_service_geometry():
     assert len(prog2._compiled) == len(prog2._groups)
     args_none = argparse.Namespace(image_size=None, image_roi=None)
     assert warmup_program(fresh(), args_none, 2) == -1.0
+    # the CLI leaves image_roi as a raw string — must parse, not iterate chars
+    prog3 = fresh()
+    args_str = argparse.Namespace(image_size=None, image_roi="[8,8]", is_grayscale=1)
+    assert warmup_program(prog3, args_str, 2) >= 0
+    assert len(prog3._compiled) == len(prog3._groups)
 
 
 def test_sigterm_graceful_shutdown(tmp_path):
