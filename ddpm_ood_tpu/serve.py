@@ -75,11 +75,15 @@ def build_recon_program(
     )
 
 
-def warmup_program(program: ReconProgram, args, batch_size: int) -> float:
+def warmup_program(
+    program: ReconProgram, args, batch_size: int, shard_fn=None
+) -> float:
     """Pre-compile every sweep group for the serving geometry (the images the
     service will receive: `(batch, *spatial, C)` floats). Returns seconds
     spent, or -1.0 when the geometry can't be derived from args (no
     image_size/image_roi) — the first request then pays the compiles.
+    `shard_fn` must match the ScoringService's (GSPMD jit caches per input
+    sharding — warming with a different placement would compile twice).
     Concurrent compilation is opt-in via DDPM_OOD_TPU_PARALLEL_COMPILE=1
     (see ReconProgram.warmup)."""
     import os
@@ -100,6 +104,8 @@ def warmup_program(program: ReconProgram, args, batch_size: int) -> float:
         return -1.0
     channels = 1 if getattr(args, "is_grayscale", 0) else 3
     example = np.zeros((int(batch_size),) + spatial + (channels,), np.float32)
+    if shard_fn is not None:
+        example = shard_fn(example)
     return program.warmup(
         example,
         parallel=os.environ.get("DDPM_OOD_TPU_PARALLEL_COMPILE", "") == "1",
@@ -121,8 +127,16 @@ class ScoringService:
         batch_size: int,
         model_name: str = "model",
         reload_fn=None,
+        shard_fn=None,
+        flag_fpr: float = 0.0,
     ):
         self.program = program
+        # optional GSPMD placement of the request batch over a data-parallel
+        # device mesh (parallel/mesh.py shard_batch bound to the trainer's
+        # mesh) — on a multi-chip host the sweep then runs data-parallel
+        # instead of on device 0. Must also be applied at warmup
+        # (warmup_program(shard_fn=...)) so the compiled executables match.
+        self.shard_fn = shard_fn
         # checkpoint hot-reload hook (POST /reload): a callable that re-reads
         # weights and swaps program.model_fn, returning a description string.
         # Weights are traced program ARGUMENTS (docs/DESIGN.md), so the swap
@@ -172,6 +186,37 @@ class ScoringService:
                 "the service must use the same num_inference_steps / "
                 "inference_skip_factor as the validation reconstruction run"
             )
+        # optional decision operating point: with flag_fpr in (0, 1), each
+        # response carries is_ood / ood_flags, thresholded at the
+        # (1 - flag_fpr) quantile of the VALIDATION images' own per-image
+        # mean-z distribution (the same statistic ood_detection.py AUROCs).
+        # The validation set is in-distribution by construction, so the
+        # quantile is a direct FPR target; precision depends on having
+        # enough distinct validation images (quantiles of a handful of
+        # values are coarse — the threshold table is served at /statz for
+        # inspection).
+        self.flag_fpr = float(flag_fpr)
+        self.z_thresholds: Dict[str, float] = {}
+        if self.flag_fpr != 0.0:
+            if not 0.0 < self.flag_fpr < 1.0:
+                raise ValueError(f"flag_fpr must be in (0, 1), got {flag_fpr}")
+            # restrict to the program's own start points: served scores are
+            # means over exactly these t, so extra validation t rows (e.g. a
+            # CSV from a finer grid) must not skew the operating point
+            served_t = {int(t) for t in program.t_starts}
+            rows = val_stats[val_stats["t"].astype(int).isin(served_t)]
+            for target in targets:
+                mu = rows["t"].map(
+                    {t: v[0] for t, v in self._stats[target].items()}
+                )
+                sd = rows["t"].map(
+                    {t: v[1] for t, v in self._stats[target].items()}
+                )
+                z = (rows[target] - mu) / sd
+                per_image = z.groupby(rows["filename"]).mean()
+                self.z_thresholds[target] = float(
+                    np.quantile(per_image.to_numpy(), 1.0 - self.flag_fpr)
+                )
         # request-size ceiling: the compiled batch of f64 images at a generous
         # 64 MiB/image, plus npy header slack — anything larger cannot be a
         # legitimate request and must not be buffered into host memory
@@ -180,7 +225,7 @@ class ScoringService:
         # count is tallied at the HTTP layer so batched coalescing is visible)
         self.stats: Dict[str, float] = {
             "requests": 0, "images": 0, "sweeps": 0, "device_seconds": 0.0,
-            "reloads": 0,
+            "reloads": 0, "z_mse_sum": 0.0,
         }
 
     def reload(self) -> str:
@@ -196,9 +241,9 @@ class ScoringService:
 
     @classmethod
     def from_val_csv(cls, program, val_csv: str | Path, batch_size: int,
-                     model_name: str = "model") -> "ScoringService":
+                     model_name: str = "model", shard_fn=None) -> "ScoringService":
         df = dedup(pd.read_csv(val_csv))
-        return cls(program, df, batch_size, model_name)
+        return cls(program, df, batch_size, model_name, shard_fn=shard_fn)
 
     def score(self, images: np.ndarray) -> list:
         """images: (B, *spatial, C) floats in [0, 1], B <= batch_size.
@@ -212,6 +257,8 @@ class ScoringService:
         if b > self.batch_size:
             raise ValueError(f"batch {b} > service batch_size {self.batch_size}")
         pad = np.take(images, np.arange(self.batch_size) % b, axis=0)
+        if self.shard_fn is not None:
+            pad = self.shard_fn(pad)
         with self._lock:
             import time as _time
 
@@ -267,7 +314,31 @@ class ScoringService:
                 rec["z_score_elbo"] = float(np.mean(zs["elbo"]))
             if ssim is not None:
                 rec["z_score_ssim"] = float(np.mean(zs["ssim_distance"]))
+            if self.z_thresholds:
+                # decision at the validation-calibrated operating point;
+                # is_ood follows the reference's headline statistic (mse,
+                # ood_detection.py:73), ood_flags carries every served target
+                flags = {
+                    "mse": rec["z_score_mse"] > self.z_thresholds["mse"],
+                    "perceptual_difference": rec["z_score_perceptual"]
+                    > self.z_thresholds["perceptual_difference"],
+                }
+                if elbo is not None and "elbo" in self.z_thresholds:
+                    flags["elbo"] = rec["z_score_elbo"] > self.z_thresholds["elbo"]
+                if ssim is not None and "ssim_distance" in self.z_thresholds:
+                    flags["ssim_distance"] = (
+                        rec["z_score_ssim"] > self.z_thresholds["ssim_distance"]
+                    )
+                rec["ood_flags"] = {k: bool(v) for k, v in flags.items()}
+                rec["is_ood"] = bool(flags["mse"])
             out.append(rec)
+        # drift indicator: served-traffic mean z_score_mse should hover near
+        # the validation distribution's (~0); a sustained climb means the
+        # input distribution is shifting — exposed at GET /statz
+        with self._lock:
+            self.stats["z_mse_sum"] += float(
+                sum(r["z_score_mse"] for r in out)
+            )
         return out
 
 
@@ -399,6 +470,15 @@ def make_handler(service: ScoringService):
                 s["coalescing_ratio"] = (
                     s["requests"] / sweeps if s["requests"] else 0.0
                 )
+                # drift: mean z over all served images (validation-calibrated
+                # traffic hovers near 0; a sustained climb = input shift)
+                s["mean_served_z_mse"] = (
+                    s.pop("z_mse_sum") / s["images"] if s["images"] else 0.0
+                )
+                thr = getattr(service, "z_thresholds", None)
+                if thr:
+                    s["flag_fpr"] = service.flag_fpr
+                    s["z_thresholds"] = thr
                 self._json(200, s)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})

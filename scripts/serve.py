@@ -78,6 +78,12 @@ def parse_args(argv=None):
                    "throughput under small-request load. 0 disables")
     p.add_argument("--results_val", default=None,
                    help="validation stats CSV (default <run>/ood/results_val.csv)")
+    p.add_argument("--flag_fpr", type=float, default=0.0,
+                   help="serve is_ood / ood_flags decisions thresholded at "
+                   "the (1 - flag_fpr) quantile of the validation images' "
+                   "per-image mean-z distribution (e.g. 0.05 targets 5%% "
+                   "false-positive rate on in-distribution traffic). "
+                   "0 disables (z-scores only)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--seed", type=int, default=None)
@@ -122,15 +128,31 @@ def main(argv=None) -> None:
 
     from ddpm_ood_tpu.ood.score import dedup
 
+    # on a multi-chip host, score data-parallel over the trainer's mesh:
+    # the request batch is GSPMD-sharded along `data` and the same compiled
+    # sweep uses every local device (single chip: plain host array, as before)
+    import jax
+
+    shard_fn = trainer.shard if jax.device_count() > 1 else None
+    if shard_fn is not None and args.batch_size % jax.device_count() != 0:
+        print(
+            f"serve: batch_size {args.batch_size} not divisible by "
+            f"{jax.device_count()} devices — batches wrap-pad up to the next "
+            "multiple (one-time; scores are unaffected)"
+        )
     service = ScoringService(
         program, dedup(pd.read_csv(val_csv)), args.batch_size,
-        model_name=args.model_name, reload_fn=reload_fn,
+        model_name=args.model_name, reload_fn=reload_fn, shard_fn=shard_fn,
+        flag_fpr=args.flag_fpr,
     )
+    if service.z_thresholds:
+        print(f"decision thresholds (flag_fpr={args.flag_fpr}): "
+              f"{service.z_thresholds}")
     # compile every sweep group BEFORE accepting requests so the first
     # request runs at warm latency (concurrent compiles opt-in — see helper)
     from ddpm_ood_tpu.serve import warmup_program
 
-    secs = warmup_program(program, args, args.batch_size)
+    secs = warmup_program(program, args, args.batch_size, shard_fn=shard_fn)
     if secs >= 0:
         print(f"warm: compiled {len(program._compiled)} sweep groups in {secs:.1f}s")
     if args.batch_window_ms > 0:

@@ -424,3 +424,110 @@ def test_sigterm_graceful_shutdown(tmp_path):
             proc.kill()
     assert proc.returncode == 0, out
     assert "CLEAN-EXIT" in out and "shutting down" in out
+
+
+def test_sharded_service_matches_unsharded(program):
+    """shard_fn: the request batch GSPMD-sharded over an 8-virtual-device
+    data mesh must produce the same per-image scores as the plain service
+    (multi-chip serving is score-invisible)."""
+    import functools
+
+    from ddpm_ood_tpu.parallel.mesh import make_mesh, shard_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh()
+    det = _deterministic_program(program)
+    plain = ScoringService(det, _val_stats(program), batch_size=8,
+                           model_name="t")
+    det2 = _deterministic_program(program)
+    sharded = ScoringService(det2, _val_stats(program), batch_size=8,
+                             model_name="t",
+                             shard_fn=functools.partial(shard_batch, mesh))
+    imgs = np.random.default_rng(7).uniform(
+        size=(5, SIZE, SIZE, 1)).astype("float32")
+    a = plain.score(imgs)
+    b = sharded.score(imgs)
+    assert len(a) == len(b) == 5
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(
+            ra["z_score_mse"], rb["z_score_mse"], rtol=1e-4, atol=1e-5)
+        for t in ra["per_t"]:
+            np.testing.assert_allclose(
+                ra["per_t"][t]["mse"], rb["per_t"][t]["mse"],
+                rtol=1e-4, atol=1e-6)
+
+
+def test_warmup_with_shard_fn_precompiles_sharded_key(program):
+    """warmup_program(shard_fn=...) must warm exactly the executables score()
+    will hit: a sharded request after a sharded warmup adds no compile keys."""
+    import functools
+    from types import SimpleNamespace
+
+    from ddpm_ood_tpu.parallel.mesh import make_mesh, shard_batch
+    from ddpm_ood_tpu.serve import warmup_program
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh()
+    shard_fn = functools.partial(shard_batch, mesh)
+    det = _deterministic_program(program)
+    svc = ScoringService(det, _val_stats(program), batch_size=8,
+                         model_name="t", shard_fn=shard_fn)
+    args = SimpleNamespace(image_size=SIZE, spatial_dimension=2, is_grayscale=1)
+    secs = warmup_program(det, args, 8, shard_fn=shard_fn)
+    assert secs >= 0
+    keys_after_warmup = set(det._compiled)
+    svc.score(np.random.default_rng(3).uniform(
+        size=(3, SIZE, SIZE, 1)).astype("float32"))
+    assert set(det._compiled) == keys_after_warmup
+
+
+def test_flag_fpr_decisions_and_drift_stat(program):
+    """--flag_fpr: thresholds are the (1-fpr) quantile of the validation
+    per-image mean-z distribution; responses carry is_ood/ood_flags; /statz
+    reports the drift mean and the threshold table."""
+    det = _deterministic_program(program)
+    stats = _val_stats(program)
+    svc = ScoringService(det, stats, batch_size=4, model_name="t",
+                         flag_fpr=0.25)
+    # validation mean-z distribution by hand: z per row against per-t
+    # mean/std, mean per filename, 75th percentile
+    mu = stats.groupby("t")["mse"].mean()
+    sd = stats.groupby("t")["mse"].std() + 1e-12
+    z = (stats["mse"] - stats["t"].map(mu)) / stats["t"].map(sd)
+    per_img = z.groupby(stats["filename"]).mean()
+    expect = float(np.quantile(per_img.to_numpy(), 0.75))
+    assert svc.z_thresholds["mse"] == pytest.approx(expect)
+
+    imgs = np.random.default_rng(5).uniform(
+        size=(3, SIZE, SIZE, 1)).astype("float32")
+    out = svc.score(imgs)
+    for rec in out:
+        assert rec["is_ood"] == (rec["z_score_mse"] > svc.z_thresholds["mse"])
+        assert set(rec["ood_flags"]) == {"mse", "perceptual_difference"}
+        assert isinstance(rec["is_ood"], bool)
+
+    # drift stat + threshold table over HTTP
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.server_port}/statz"
+        ) as resp:
+            s = json.loads(resp.read())
+        want = float(np.mean([r["z_score_mse"] for r in out]))
+        assert s["mean_served_z_mse"] == pytest.approx(want, rel=1e-6)
+        assert s["flag_fpr"] == pytest.approx(0.25)
+        assert s["z_thresholds"]["mse"] == pytest.approx(expect)
+        assert "z_mse_sum" not in s
+    finally:
+        server.shutdown()
+
+
+def test_flag_fpr_out_of_range_rejected(program):
+    """flag_fpr outside (0,1) must be rejected at construction."""
+    with pytest.raises(ValueError, match="flag_fpr"):
+        ScoringService(program, _val_stats(program), batch_size=4,
+                       model_name="t", flag_fpr=1.5)
