@@ -41,7 +41,9 @@ def _ddpm_model_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--model_type", default="small", help="Small or big model.")
     parser.add_argument(
         "--beta_schedule", default="linear_beta",
-        help="linear_beta or scaled_linear_beta.",
+        help="linear_beta or scaled_linear_beta (reference choices), or "
+        "cosine_beta (framework extension: Improved-DDPM cosine schedule, "
+        "arXiv:2102.09672; beta_start/beta_end ignored).",
     )
     parser.add_argument("--beta_start", type=float, default=1e-4, help="Beta start.")
     parser.add_argument("--beta_end", type=float, default=2e-2, help="Beta end.")
@@ -299,6 +301,15 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "family beside mse/LPIPS, metrics-tail only (no extra UNet evals). "
         "Score with ood_detection.py --plot_target=ssim_distance (or "
         "mse+ssim).",
+    )
+    parser.add_argument(
+        "--save_error_maps", type=int, default=0,
+        help="Framework extension: save per-image anomaly-LOCALIZATION "
+        "heatmaps — the per-pixel squared reconstruction error, mean over "
+        "every start point — to ood/error_maps/<dataset>/<stem>.{npy,png} "
+        "(middle-slice PNG for 3D). The reference emits per-image scalars "
+        "only; this shows WHERE the input deviates. Metrics-tail only, no "
+        "extra UNet evals. Not available with --sampler=plms_ref.",
     )
     parser.add_argument(
         "--simplex_noise_mode", default="exact", choices=("exact", "device"),

@@ -28,6 +28,7 @@ PredictionType = str  # "epsilon" | "sample" | "v_prediction"
 _SCHEDULE_ALIASES = {
     "linear": "linear_beta",
     "scaled_linear": "scaled_linear_beta",
+    "cosine": "cosine_beta",
 }
 
 
@@ -37,7 +38,15 @@ def make_beta_schedule(
     beta_start: float = 1e-4,
     beta_end: float = 2e-2,
 ) -> np.ndarray:
-    """Beta table for the named schedule (host-side, float64 for accuracy then f32)."""
+    """Beta table for the named schedule (host-side, float64 for accuracy then f32).
+
+    `linear_beta` / `scaled_linear_beta` match the reference's choices
+    (base.py:97-103). `cosine_beta` is a framework extension: the
+    Improved-DDPM schedule (arXiv:2102.09672 §3.2, s=0.008, betas clipped at
+    0.999) — it spreads noise more evenly over t, which matters for OOD
+    scoring because the per-t z-scores sample the whole t range;
+    beta_start/beta_end are ignored for it.
+    """
     schedule = _SCHEDULE_ALIASES.get(schedule, schedule)
     if schedule == "linear_beta":
         betas = np.linspace(beta_start, beta_end, num_train_timesteps, dtype=np.float64)
@@ -48,6 +57,12 @@ def make_beta_schedule(
             )
             ** 2
         )
+    elif schedule == "cosine_beta":
+        s = 0.008
+        t = np.arange(num_train_timesteps + 1, dtype=np.float64)
+        f = np.cos((t / num_train_timesteps + s) / (1.0 + s) * np.pi / 2.0) ** 2
+        acp = f / f[0]
+        betas = np.clip(1.0 - acp[1:] / acp[:-1], 0.0, 0.999)
     else:
         raise ValueError(f"Unknown beta schedule: {schedule!r}")
     return betas.astype(np.float32)

