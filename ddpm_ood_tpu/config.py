@@ -386,6 +386,7 @@ def parse_args_ood_detection(argv=None) -> argparse.Namespace:
         "--report", default="auroc",
         help="Comma-separated metrics to report per OOD dataset (framework "
         "extension; the reference prints AUROC only): auroc, aupr (average "
-        "precision, OOD positive), fpr95 (FPR at 95%% TPR).",
+        "precision, OOD positive), fpr95 (FPR at 95%% TPR), auroc_ci "
+        "(DeLong 95%% confidence interval on the AUROC).",
     )
     return parser.parse_args(argv)

@@ -1,6 +1,7 @@
 from .score import (
     OOD_DATASET_REGISTRY,
     auroc,
+    auroc_delong_ci,
     compute_ood_scores,
     out_datasets_for_model,
     run_ood_detection,
@@ -10,6 +11,7 @@ from .score import (
 __all__ = [
     "OOD_DATASET_REGISTRY",
     "auroc",
+    "auroc_delong_ci",
     "compute_ood_scores",
     "out_datasets_for_model",
     "run_ood_detection",

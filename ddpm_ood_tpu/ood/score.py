@@ -89,7 +89,59 @@ def fpr_at_95_tpr(labels: Sequence[int], scores: Sequence[float]) -> float:
     return float(fpr[idx])
 
 
+def _midrank(x: np.ndarray) -> np.ndarray:
+    """Midranks (average rank over ties), 1-based — the DeLong building block."""
+    order = np.argsort(x, kind="mergesort")
+    z = x[order]
+    n = len(x)
+    ranks = np.zeros(n)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and z[j] == z[i]:
+            j += 1
+        ranks[i:j] = 0.5 * (i + j - 1) + 1.0
+        i = j
+    out = np.empty(n)
+    out[order] = ranks
+    return out
+
+
+def auroc_delong_ci(
+    labels: Sequence[int], scores: Sequence[float], alpha: float = 0.05
+) -> Tuple[float, float, float]:
+    """AUROC with a DeLong (1988) asymptotic confidence interval, computed via
+    the Sun & Xu midrank formulation (framework extension; the reference prints
+    point AUROCs only, ood_detection.py:193-206).
+
+    Returns (auc, lo, hi) with the interval clipped to [0, 1]. The structural
+    components are V01_i = mean_j psi(out_i, in_j) and V10_j = mean_i
+    psi(out_i, in_j) with psi the Mann-Whitney kernel (ties = 1/2); the AUROC
+    variance estimate is var(V01)/m + var(V10)/n.
+    """
+    import statistics
+
+    labels = np.asarray(labels)
+    scores = np.asarray(scores, dtype=np.float64)
+    pos = scores[labels == 1]  # OOD
+    neg = scores[labels == 0]  # in-distribution
+    m, n = len(pos), len(neg)
+    if m == 0 or n == 0:
+        raise ValueError("DeLong CI needs at least one in and one out score")
+    tz = _midrank(np.concatenate([pos, neg]))
+    v01 = (tz[:m] - _midrank(pos)) / n
+    v10 = 1.0 - (tz[m:] - _midrank(neg)) / m
+    auc = float(v01.mean())
+    s01 = float(v01.var(ddof=1)) if m > 1 else 0.0
+    s10 = float(v10.var(ddof=1)) if n > 1 else 0.0
+    se = float(np.sqrt(s01 / m + s10 / n))
+    z = statistics.NormalDist().inv_cdf(1.0 - alpha / 2.0)
+    return auc, max(0.0, auc - z * se), min(1.0, auc + z * se)
+
+
 OOD_METRICS = {"auroc": auroc, "aupr": aupr, "fpr95": fpr_at_95_tpr}
+# report keys with non-scalar outputs, handled specially by run_ood_detection
+EXTENDED_REPORTS = ("auroc_ci",)
 
 
 def dedup(df: pd.DataFrame) -> pd.DataFrame:
@@ -199,6 +251,8 @@ def compute_ood_scores(
         "auroc": auroc(labels, scores),
         "aupr": aupr(labels, scores),
         "fpr95": fpr_at_95_tpr(labels, scores),
+        "labels": np.asarray(labels),
+        "scores": scores,
         "per_image": per_image,
         "rows": combined,
         "t_values": t_values,
@@ -257,16 +311,22 @@ def run_ood_detection(
     if out_datasets is None:
         out_datasets = out_datasets_for_model(model_name)
     metrics = [m.strip() for m in report.split(",") if m.strip()]
-    unknown = [m for m in metrics if m not in OOD_METRICS]
+    unknown = [
+        m for m in metrics if m not in OOD_METRICS and m not in EXTENDED_REPORTS
+    ]
     if unknown:
         raise ValueError(
             f"unknown --report metric(s) {unknown}; choose from "
-            f"{sorted(OOD_METRICS)}"
+            f"{sorted(OOD_METRICS) + list(EXTENDED_REPORTS)}"
         )
-    extra = [m for m in metrics if m != "auroc"]
+    with_ci = "auroc_ci" in metrics
+    extra = [m for m in metrics if m != "auroc" and m in OOD_METRICS]
     results = {"ood_data": [], f"Zscore_{plot_target}": []}
     for m in extra:
         results[m] = []
+    if with_ci:
+        results["auroc_ci_lo"] = []
+        results["auroc_ci_hi"] = []
     for out_name in out_datasets:
         in_df = pd.read_csv(out_dir / "results_in.csv")
         out_df = pd.read_csv(out_dir / f"results_{out_name}.csv")
@@ -286,11 +346,21 @@ def run_ood_detection(
         results[f"Zscore_{plot_target}"].append(scored["auroc"])
         for m in extra:
             results[m].append(scored[m])
+        if with_ci:
+            _, lo, hi = auroc_delong_ci(scored["labels"], scored["scores"])
+            results["auroc_ci_lo"].append(lo)
+            results["auroc_ci_hi"].append(hi)
 
     for i, o in enumerate(results["ood_data"]):
+        ci = (
+            f" (95% CI [{results['auroc_ci_lo'][i] * 100:.1f}, "
+            f"{results['auroc_ci_hi'][i] * 100:.1f}])"
+            if with_ci
+            else ""
+        )
         print(
             f"AUC for {model_name} vs {o}: "
-            f"{results[f'Zscore_{plot_target}'][i] * 100:.1f}"
+            f"{results[f'Zscore_{plot_target}'][i] * 100:.1f}{ci}"
         )
         for m in extra:
             label = {"aupr": "AUPR", "fpr95": "FPR@95TPR"}[m]
