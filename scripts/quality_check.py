@@ -69,7 +69,7 @@ def make_dataset(root: Path, name: str, n: int, size: int, rng, kind: str = "in"
 def score_run(out_dir: Path, out_name: str, target: str = "mse"):
     import pandas as pd
 
-    from ddpm_ood_tpu.ood import compute_ood_scores
+    from ddpm_ood_tpu.ood import auroc_delong_ci, compute_ood_scores
 
     scored = compute_ood_scores(
         pd.read_csv(out_dir / "results_val.csv"),
@@ -80,8 +80,13 @@ def score_run(out_dir: Path, out_name: str, target: str = "mse"):
     per_image = scored["per_image"]
     z = f"Z_score_{target}" if f"Z_score_{target}" in per_image else f"z_score_{target}"
     mean_z = per_image.groupby("type")[z].mean().to_dict()
+    # DeLong 95% CI so sampler-vs-sampler deltas carry their uncertainty
+    # (at harness sample sizes the interval is wide — overlapping CIs mean
+    # a delta is not evidence)
+    _, ci_lo, ci_hi = auroc_delong_ci(scored["labels"], scored["scores"])
     return {
         "auroc": round(scored["auroc"], 4),
+        "auroc_ci": [round(ci_lo, 4), round(ci_hi, 4)],
         "mean_z_in": round(float(mean_z.get("in", float("nan"))), 4),
         "mean_z_out": round(float(mean_z.get("out", float("nan"))), 4),
     }
