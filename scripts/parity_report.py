@@ -24,38 +24,33 @@ def main(argv=None) -> None:
     p.add_argument("--model_name", default="fashionmnist")
     args = p.parse_args(argv)
 
-    import io
-    from contextlib import redirect_stdout
-
     from ddpm_ood_tpu.ood.score import run_ood_detection
 
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        run_ood_detection(
-            output_dir=args.output_dir, model_name=args.model_name
-        )
-    report = buf.getvalue()
-    print(report)
-
-    aurocs = {}
-    for line in report.splitlines():
-        # "AUC for <model> vs <dataset>: <value>"
-        if line.startswith("AUC for ") and ":" in line:
-            head, val = line.rsplit(":", 1)
-            dataset = head.split(" vs ")[-1].strip()
-            aurocs[dataset] = float(val)
+    # structured results, not stdout scraping; auroc_ci adds the DeLong 95%
+    # interval so the 0.5-pt gate can be read against sampling uncertainty
+    results = run_ood_detection(
+        output_dir=args.output_dir, model_name=args.model_name,
+        report="auroc,auroc_ci",
+    )
 
     baseline_path = pathlib.Path(__file__).resolve().parent.parent / "BASELINE.json"
     published = json.load(open(baseline_path)).get("published", {})
     table = published.get("tables", {})  # absent until transcribed from PDFs
 
     comparison = {}
-    for dataset, measured in aurocs.items():
+    for i, dataset in enumerate(results["ood_data"]):
+        measured = round(results["Zscore_mse"][i] * 100, 1)  # percent, as printed
         ref = table.get(dataset)
+        lo = round(results["auroc_ci_lo"][i] * 100, 1)
+        hi = round(results["auroc_ci_hi"][i] * 100, 1)
         comparison[dataset] = {
             "measured_auroc": measured,
+            "measured_ci95": [lo, hi],
             "published_auroc": ref,
             "delta": None if ref is None else round(measured - float(ref), 2),
+            "published_within_ci": (
+                None if ref is None else bool(lo <= float(ref) <= hi)
+            ),
         }
 
     out_path = (
