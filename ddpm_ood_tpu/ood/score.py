@@ -114,12 +114,20 @@ def auroc_delong_ci(
     the Sun & Xu midrank formulation (framework extension; the reference prints
     point AUROCs only, ood_detection.py:193-206).
 
-    Returns (auc, lo, hi) with the interval clipped to [0, 1]. The structural
-    components are V01_i = mean_j psi(out_i, in_j) and V10_j = mean_i
-    psi(out_i, in_j) with psi the Mann-Whitney kernel (ties = 1/2); the AUROC
-    variance estimate is var(V01)/m + var(V10)/n.
+    Returns (auc, lo, hi) with the interval clipped to [0, 1]. Structural
+    components follow the literature's naming: V10_i = mean_j psi(out_i, in_j)
+    over the m OOD (positive) scores, and V01_j = mean_i psi(out_i, in_j) over
+    the n in-distribution (negative) scores, with psi the Mann-Whitney kernel
+    (ties = 1/2); the AUROC variance estimate is var(V10)/m + var(V01)/n.
+
+    Known DeLong limitation: with perfect separation (or a single-sample
+    class) both component variances are 0 and the interval degenerates to
+    zero width (e.g. [1.0, 1.0]). At small n this overstates certainty — a
+    warning is emitted so a zero-width CI is not read as zero uncertainty;
+    treat it as "no overlap observed", not "no sampling error".
     """
     import statistics
+    import warnings
 
     labels = np.asarray(labels)
     scores = np.asarray(scores, dtype=np.float64)
@@ -129,12 +137,19 @@ def auroc_delong_ci(
     if m == 0 or n == 0:
         raise ValueError("DeLong CI needs at least one in and one out score")
     tz = _midrank(np.concatenate([pos, neg]))
-    v01 = (tz[:m] - _midrank(pos)) / n
-    v10 = 1.0 - (tz[m:] - _midrank(neg)) / m
-    auc = float(v01.mean())
-    s01 = float(v01.var(ddof=1)) if m > 1 else 0.0
-    s10 = float(v10.var(ddof=1)) if n > 1 else 0.0
-    se = float(np.sqrt(s01 / m + s10 / n))
+    v10 = (tz[:m] - _midrank(pos)) / n
+    v01 = 1.0 - (tz[m:] - _midrank(neg)) / m
+    auc = float(v10.mean())
+    s10 = float(v10.var(ddof=1)) if m > 1 else 0.0
+    s01 = float(v01.var(ddof=1)) if n > 1 else 0.0
+    se = float(np.sqrt(s10 / m + s01 / n))
+    if se == 0.0:
+        warnings.warn(
+            "DeLong variance is 0 (perfect separation or single-sample class):"
+            f" the CI degenerates to zero width at m={m}, n={n} and understates"
+            " uncertainty — do not read it as exact",
+            stacklevel=2,
+        )
     z = statistics.NormalDist().inv_cdf(1.0 - alpha / 2.0)
     return auc, max(0.0, auc - z * se), min(1.0, auc + z * se)
 

@@ -41,15 +41,16 @@ def main(argv=None) -> None:
     for i, dataset in enumerate(results["ood_data"]):
         measured = round(results["Zscore_mse"][i] * 100, 1)  # percent, as printed
         ref = table.get(dataset)
-        lo = round(results["auroc_ci_lo"][i] * 100, 1)
-        hi = round(results["auroc_ci_hi"][i] * 100, 1)
+        # containment is judged on the UNROUNDED interval; rounding is display-only
+        lo_exact = results["auroc_ci_lo"][i] * 100
+        hi_exact = results["auroc_ci_hi"][i] * 100
         comparison[dataset] = {
             "measured_auroc": measured,
-            "measured_ci95": [lo, hi],
+            "measured_ci95": [round(lo_exact, 1), round(hi_exact, 1)],
             "published_auroc": ref,
             "delta": None if ref is None else round(measured - float(ref), 2),
             "published_within_ci": (
-                None if ref is None else bool(lo <= float(ref) <= hi)
+                None if ref is None else bool(lo_exact <= float(ref) <= hi_exact)
             ),
         }
 

@@ -28,10 +28,11 @@ def _naive_delong(labels, scores, alpha=0.05):
     for i in range(m):
         for j in range(n):
             psi[i, j] = 1.0 if pos[i] > neg[j] else (0.5 if pos[i] == neg[j] else 0.0)
-    v01 = psi.mean(axis=1)
-    v10 = psi.mean(axis=0)
+    # literature naming: V10 over the m positives, V01 over the n negatives
+    v10 = psi.mean(axis=1)
+    v01 = psi.mean(axis=0)
     auc = psi.mean()
-    var = v01.var(ddof=1) / m + v10.var(ddof=1) / n
+    var = v10.var(ddof=1) / m + v01.var(ddof=1) / n
     z = statistics.NormalDist().inv_cdf(1 - alpha / 2)
     se = np.sqrt(var)
     return float(auc), max(0.0, auc - z * se), min(1.0, auc + z * se)
@@ -83,7 +84,8 @@ def test_delong_agrees_with_bootstrap():
 def test_delong_perfect_separation_degenerates_to_point():
     labels = [0, 0, 0, 1, 1, 1]
     scores = [0.0, 0.1, 0.2, 5.0, 6.0, 7.0]
-    auc, lo, hi = auroc_delong_ci(labels, scores)
+    with pytest.warns(UserWarning, match="zero width"):
+        auc, lo, hi = auroc_delong_ci(labels, scores)
     assert auc == lo == hi == 1.0
 
 

@@ -8,14 +8,22 @@ untranscribed (egress-blocked).
 
 from __future__ import annotations
 
+import importlib.util
 import json
-import sys
 from pathlib import Path
 
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+def _load_parity_report():
+    # import by file path instead of a session-long sys.path insert of
+    # scripts/ (which could shadow same-named modules in later tests)
+    path = Path(__file__).resolve().parent.parent / "scripts" / "parity_report.py"
+    spec = importlib.util.spec_from_file_location("_parity_report_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _df(filenames, types, ts, mses):
@@ -31,7 +39,7 @@ def _df(filenames, types, ts, mses):
 
 
 def test_parity_report_artifact(tmp_path):
-    import parity_report
+    parity_report = _load_parity_report()
 
     ood = tmp_path / "fashionmnist" / "ood"
     ood.mkdir(parents=True)
