@@ -75,9 +75,12 @@ def main() -> None:
     if not args.output_dir or not args.model_name:
         p.error("--output_dir and --model_name are required when importing")
 
-    import torch  # CPU-only is fine; tensors go straight to numpy
+    # torch-free import: the restricted .pth reader (utils/pth_reader.py)
+    # handles both the zip and legacy torch formats and yields numpy directly,
+    # so reference-checkpoint migration runs on hosts without torch
+    from ddpm_ood_tpu.utils.pth_reader import load_pth
 
-    raw = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=True)
+    raw = load_pth(args.torch_checkpoint)
     if "model_state_dict" in raw:
         sd = raw["model_state_dict"]
         epoch = int(raw.get("epoch", 0))

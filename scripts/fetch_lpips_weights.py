@@ -16,7 +16,11 @@ convert_torch_state_dict (tests/test_lpips_conversion.py), (3) VERIFIES the
 converted JAX forward against an independent torch-functional LPIPS evaluated
 with the real weights, and (4) writes the .npz that load_lpips_params consumes.
 
-Requires torch (baked into this image); uses no other new dependencies.
+torch is NOT required: the .pth files are read with the framework's own
+restricted-unpickler reader (ddpm_ood_tpu/utils/pth_reader.py, byte-parity
+tested vs torch.load). When torch IS importable, step (3) additionally runs
+the independent torch-functional verification; without torch that step is
+skipped with a notice (the conversion itself is already golden-tested).
 """
 
 from __future__ import annotations
@@ -53,10 +57,11 @@ def _download(url: str, dest: Path) -> Path:
 
 
 def _load_state_dict(path: Path) -> dict:
-    import torch
+    # torch-free: the restricted .pth reader returns numpy arrays directly
+    from ddpm_ood_tpu.utils.pth_reader import load_pth
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: np.asarray(v.detach().numpy()) for k, v in sd.items()}
+    sd = load_pth(str(path))
+    return {k: np.asarray(v) for k, v in sd.items()}
 
 
 def _torch_functional_lpips(alex_sd, lpips_sd, x_np, y_np):
@@ -140,6 +145,17 @@ def main(argv=None) -> None:
     print(f"wrote {args.out}")
 
     # ---- verification with the real weights -----------------------------------
+    try:
+        import torch  # noqa: F401 — optional, only for the independent golden
+    except ImportError:
+        print(
+            "torch not installed: skipping the independent torch-functional "
+            "verification (conversion is golden-tested in "
+            "tests/test_lpips_conversion.py); the .npz is ready to use"
+        )
+        print(f"export LPIPS_WEIGHTS_NPZ={args.out}")
+        return
+
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)

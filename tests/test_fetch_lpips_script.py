@@ -47,6 +47,45 @@ def test_fetch_script_converts_and_verifies(tmp_path):
     assert params["params"]["net"]["conv0"]["kernel"].shape == (11, 11, 3, 64)
 
 
+def test_fetch_script_works_without_torch(tmp_path, monkeypatch):
+    """The conversion path is torch-free (utils/pth_reader.py): with torch
+    import blocked, the script still converts and writes the npz, skipping
+    only the optional torch-functional verification."""
+    import builtins
+
+    rng = np.random.default_rng(22)
+    alex_sd, lpips_sd = _make_torch_state_dicts(rng)
+    alex_pth = tmp_path / "alexnet.pth"
+    lpips_pth = tmp_path / "alex.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in alex_sd.items()}, alex_pth)
+    # the real lpips v0.1 weights predate the zip container — use legacy format
+    torch.save({k: torch.from_numpy(v) for k, v in lpips_sd.items()}, lpips_pth,
+               _use_new_zipfile_serialization=False)
+
+    mod = _load_script()
+    real_import = builtins.__import__
+
+    def block_torch(name, *a, **k):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("torch disabled for this test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", block_torch)
+    out = tmp_path / "lpips_notorch.npz"
+    mod.main([
+        "--out", str(out),
+        "--alexnet_pth", str(alex_pth),
+        "--lpips_pth", str(lpips_pth),
+    ])
+    monkeypatch.undo()
+    assert out.exists()
+
+    from ddpm_ood_tpu.losses.lpips import load_lpips_params
+
+    params = load_lpips_params(str(out))
+    assert params["params"]["net"]["conv0"]["kernel"].shape == (11, 11, 3, 64)
+
+
 def test_fetch_script_fails_cleanly_without_egress(tmp_path, monkeypatch):
     mod = _load_script()
 
