@@ -123,7 +123,30 @@ def main() -> None:
                         help="reconstruct with --score_ssim and additionally "
                         "report the ssim_distance / mse+ssim AUROCs")
     parser.add_argument("--workdir", default=None)
+    parser.add_argument("--pinned", action="store_true",
+                        help="run the FIXED per-round regression config "
+                        "(epochs=80, size=16, n_train=32, headline 100/4 grid, "
+                        "samplers plms,dpm@25/1,ddim@25/1, fixed seeds) so "
+                        "QUALITY_r0N.json files diff cleanly across rounds")
+    parser.add_argument("--out", default=None,
+                        help="also write the result JSON to this path "
+                        "(e.g. QUALITY_r04.json)")
+    parser.add_argument("--compare_to", default=None,
+                        help="previous round's QUALITY_r0N.json: flag any "
+                        "per-task AUROC drop larger than the measured DeLong "
+                        "CI width as REGRESSION")
     args = parser.parse_args()
+
+    if args.pinned:
+        # the pinned regression config: every knob fixed so round-over-round
+        # files are directly diffable and a >CI-width drop is a red flag
+        args.epochs, args.size, args.n_train = 80, 16, 32
+        args.steps, args.skip = 100, 4
+        args.samplers = "plms,dpm@25/1,ddim@25/1"
+        args.simplex = False
+        args.ema_decay = 0.0
+        args.quantize = "none"
+        args.elbo = args.ssim = False
 
     from ddpm_ood_tpu.trainers import DDPMTrainer, Reconstruct
 
@@ -202,8 +225,10 @@ def main() -> None:
         )
         per_sampler[label + suffix] = entry
 
+    import jax
+
     first = args.samplers.split(",")[0]
-    print(json.dumps({
+    payload = {
         "metric": "synthetic_ood_auroc_hard",
         "value": per_sampler[first]["hard"]["auroc"],
         "unit": "AUROC (freq-1/2 sinusoids vs freq-4 sinusoids, tiny 2D DDPM)",
@@ -211,7 +236,40 @@ def main() -> None:
         "easy_auroc": per_sampler[first]["easy"]["auroc"],
         "simplex": bool(args.simplex),
         "per_sampler": per_sampler,
-    }))
+        "pinned": bool(args.pinned),
+        "config": {
+            "epochs": args.epochs, "size": args.size, "n_train": args.n_train,
+            "steps": args.steps, "skip": args.skip, "samplers": args.samplers,
+            "data_seed": 0, "train_seed": 2,
+        },
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(payload))
+    if args.out:
+        Path(args.out).write_text(json.dumps(payload, indent=2) + "\n")
+        print(f"wrote {args.out}")
+    if args.compare_to:
+        prev = json.loads(Path(args.compare_to).read_text())
+        regressions = []
+        for label, entry in per_sampler.items():
+            prev_entry = prev.get("per_sampler", {}).get(label)
+            if prev_entry is None:
+                continue
+            for task in ("easy", "hard"):
+                cur, old = entry[task], prev_entry[task]
+                ci_width = cur["auroc_ci"][1] - cur["auroc_ci"][0]
+                drop = old["auroc"] - cur["auroc"]
+                line = (
+                    f"{label}/{task}: {old['auroc']:.4f} -> {cur['auroc']:.4f} "
+                    f"(drop {drop:+.4f}, CI width {ci_width:.4f})"
+                )
+                if drop > ci_width:
+                    regressions.append(line)
+                    print(f"REGRESSION {line}")
+                else:
+                    print(f"ok         {line}")
+        if regressions:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
