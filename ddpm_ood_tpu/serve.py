@@ -25,6 +25,8 @@ offline sweep.
 
 from __future__ import annotations
 
+import collections
+import hmac
 import io
 import json
 import threading
@@ -130,6 +132,7 @@ class ScoringService:
         reload_fn=None,
         shard_fn=None,
         flag_fpr: float = 0.0,
+        drift_window: int = 256,
     ):
         self.program = program
         # optional GSPMD placement of the request batch over a data-parallel
@@ -228,6 +231,16 @@ class ScoringService:
             "requests": 0, "images": 0, "sweeps": 0, "device_seconds": 0.0,
             "reloads": 0, "z_mse_sum": 0.0,
         }
+        # drift indicator state: a ring buffer of the last `drift_window`
+        # served images' z_score_mse. A lifetime mean cannot show a recent
+        # shift once the counter is large; the windowed mean forgets old
+        # traffic at exactly the window size (tested in test_serve.py)
+        if drift_window < 1:
+            raise ValueError(f"drift_window must be >= 1, got {drift_window}")
+        self.drift_window = int(drift_window)
+        self._drift_ring: "collections.deque[float]" = collections.deque(
+            maxlen=self.drift_window
+        )
 
     def reload(self) -> str:
         """Swap in freshly-read checkpoint weights without dropping requests:
@@ -335,11 +348,14 @@ class ScoringService:
             out.append(rec)
         # drift indicator: served-traffic mean z_score_mse should hover near
         # the validation distribution's (~0); a sustained climb means the
-        # input distribution is shifting — exposed at GET /statz
+        # input distribution is shifting — exposed at GET /statz both as a
+        # windowed mean (last drift_window images; reacts to recent shifts)
+        # and a lifetime mean (kept for continuity)
         with self._lock:
             self.stats["z_mse_sum"] += float(
                 sum(r["z_score_mse"] for r in out)
             )
+            self._drift_ring.extend(float(r["z_score_mse"]) for r in out)
         return out
 
 
@@ -443,7 +459,12 @@ class BatchingScoringService:
                     r["event"].set()
 
 
-def make_handler(service: ScoringService):
+def make_handler(service: ScoringService, auth_token: Optional[str] = None):
+    """auth_token: when set, every endpoint except GET /healthz (left open
+    for load-balancer probes) requires `Authorization: Bearer <token>`;
+    compared constant-time. The service listens on 0.0.0.0 by default —
+    set a token anywhere the network is not already trusted."""
+
     class OODRequestHandler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet by default
             pass
@@ -456,7 +477,19 @@ def make_handler(service: ScoringService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _authorized(self) -> bool:
+            if auth_token is None or self.path == "/healthz":
+                return True
+            header = self.headers.get("Authorization", "")
+            supplied = header[len("Bearer "):] if header.startswith("Bearer ") else ""
+            if hmac.compare_digest(supplied, auth_token):
+                return True
+            self._json(401, {"error": "missing or invalid bearer token"})
+            return False
+
         def do_GET(self):
+            if not self._authorized():
+                return
             if self.path == "/healthz":
                 self._json(200, {
                     "status": "ok",
@@ -471,9 +504,17 @@ def make_handler(service: ScoringService):
                 s["coalescing_ratio"] = (
                     s["requests"] / sweeps if s["requests"] else 0.0
                 )
-                # drift: mean z over all served images (validation-calibrated
-                # traffic hovers near 0; a sustained climb = input shift)
+                # drift: windowed mean z over the LAST drift_window served
+                # images (validation-calibrated traffic hovers near 0; a
+                # climb = recent input shift). The lifetime mean is kept for
+                # continuity but goes inert once `images` is large.
+                ring = list(service._drift_ring)
                 s["mean_served_z_mse"] = (
+                    sum(ring) / len(ring) if ring else 0.0
+                )
+                s["drift_window"] = service.drift_window
+                s["drift_window_filled"] = len(ring)
+                s["lifetime_mean_z_mse"] = (
                     s.pop("z_mse_sum") / s["images"] if s["images"] else 0.0
                 )
                 thr = getattr(service, "z_thresholds", None)
@@ -485,6 +526,8 @@ def make_handler(service: ScoringService):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            if not self._authorized():
+                return
             if self.path == "/reload":
                 try:
                     self._json(200, {"reloaded_from": service.reload()})
@@ -518,7 +561,12 @@ def make_handler(service: ScoringService):
     return OODRequestHandler
 
 
-def serve_forever(service: ScoringService, host: str = "0.0.0.0", port: int = 8700):
+def serve_forever(
+    service: ScoringService,
+    host: str = "0.0.0.0",
+    port: int = 8700,
+    auth_token: Optional[str] = None,
+):
     """Run the HTTP server until SIGTERM/SIGINT; in-flight sweeps finish.
 
     SIGTERM (the normal orchestrator stop signal) triggers a graceful
@@ -528,7 +576,7 @@ def serve_forever(service: ScoringService, host: str = "0.0.0.0", port: int = 87
     """
     import signal
 
-    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server = ThreadingHTTPServer((host, port), make_handler(service, auth_token))
     print(f"serving OOD scores for {service.model_name} on {host}:{server.server_port}")
 
     def _graceful(signum, frame):

@@ -25,6 +25,7 @@ and inference_skip_factor).
 from __future__ import annotations
 
 import argparse
+import os
 import pathlib
 import sys
 
@@ -84,6 +85,16 @@ def parse_args(argv=None):
                    "per-image mean-z distribution (e.g. 0.05 targets 5%% "
                    "false-positive rate on in-distribution traffic). "
                    "0 disables (z-scores only)")
+    p.add_argument("--drift_window", type=int, default=256,
+                   help="the /statz mean_served_z_mse drift indicator is a "
+                   "windowed mean over the last N served images (a lifetime "
+                   "mean is also reported but goes inert at high volume)")
+    p.add_argument("--auth_token", default=os.environ.get(
+                   "DDPM_OOD_TPU_AUTH_TOKEN") or None,
+                   help="require 'Authorization: Bearer <token>' on every "
+                   "endpoint except GET /healthz (default from "
+                   "$DDPM_OOD_TPU_AUTH_TOKEN). The service binds 0.0.0.0 — "
+                   "set this anywhere the network is not already trusted")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--seed", type=int, default=None)
@@ -143,7 +154,7 @@ def main(argv=None) -> None:
     service = ScoringService(
         program, dedup(pd.read_csv(val_csv)), args.batch_size,
         model_name=args.model_name, reload_fn=reload_fn, shard_fn=shard_fn,
-        flag_fpr=args.flag_fpr,
+        flag_fpr=args.flag_fpr, drift_window=args.drift_window,
     )
     if service.z_thresholds:
         print(f"decision thresholds (flag_fpr={args.flag_fpr}): "
@@ -159,7 +170,9 @@ def main(argv=None) -> None:
         from ddpm_ood_tpu.serve import BatchingScoringService
 
         service = BatchingScoringService(service, args.batch_window_ms)
-    serve_forever(service, args.host, args.port)
+    if args.auth_token:
+        print("bearer-token auth enabled (all endpoints except GET /healthz)")
+    serve_forever(service, args.host, args.port, auth_token=args.auth_token)
 
 
 if __name__ == "__main__":

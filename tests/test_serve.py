@@ -531,3 +531,90 @@ def test_flag_fpr_out_of_range_rejected(program):
     with pytest.raises(ValueError, match="flag_fpr"):
         ScoringService(program, _val_stats(program), batch_size=4,
                        model_name="t", flag_fpr=1.5)
+
+
+def test_drift_window_forgets_old_traffic(program):
+    """/statz mean_served_z_mse is a WINDOWED mean: once the ring buffer
+    (drift_window images) turns over, earlier traffic no longer contributes —
+    unlike the lifetime mean, which is also reported."""
+    det = _deterministic_program(program)
+    svc = ScoringService(det, _val_stats(program), batch_size=4,
+                         model_name="t", drift_window=4)
+    rng = np.random.default_rng(7)
+    old = svc.score(rng.uniform(size=(4, SIZE, SIZE, 1)).astype("float32"))
+    new = svc.score(rng.uniform(size=(4, SIZE, SIZE, 1)).astype("float32"))
+    old_z = [r["z_score_mse"] for r in old]
+    new_z = [r["z_score_mse"] for r in new]
+    assert np.mean(old_z) != pytest.approx(np.mean(new_z))  # task sanity
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.server_port}/statz"
+        ) as resp:
+            s = json.loads(resp.read())
+        # window = 4: only the NEW batch remains
+        assert s["mean_served_z_mse"] == pytest.approx(np.mean(new_z), rel=1e-6)
+        assert s["drift_window"] == 4 and s["drift_window_filled"] == 4
+        # the lifetime mean still covers all 8 images
+        assert s["lifetime_mean_z_mse"] == pytest.approx(
+            np.mean(old_z + new_z), rel=1e-6
+        )
+    finally:
+        server.shutdown()
+
+
+def test_drift_window_must_be_positive(program):
+    with pytest.raises(ValueError, match="drift_window"):
+        ScoringService(program, _val_stats(program), batch_size=4,
+                       model_name="t", drift_window=0)
+
+
+def test_bearer_token_auth(service):
+    """With auth_token set: /healthz stays open (LB probes); every other
+    endpoint requires `Authorization: Bearer <token>` and 401s otherwise."""
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(service, auth_token="sekrit")
+    )
+    port = server.server_port
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        for path, data in (("/statz", None), ("/score", b"x"), ("/reload", b"")):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(
+                    urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                           data=data)
+                )
+            assert e.value.code == 401, path
+            assert "bearer" in e.value.read().decode().lower()
+
+        wrong = urllib.request.Request(
+            f"http://127.0.0.1:{port}/statz",
+            headers={"Authorization": "Bearer nope"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(wrong)
+        assert e.value.code == 401
+
+        ok = urllib.request.Request(
+            f"http://127.0.0.1:{port}/statz",
+            headers={"Authorization": "Bearer sekrit"},
+        )
+        with urllib.request.urlopen(ok) as r:
+            assert "mean_served_z_mse" in json.loads(r.read())
+
+        buf = io.BytesIO()
+        np.save(buf, np.random.default_rng(3).uniform(
+            size=(2, SIZE, SIZE, 1)).astype("float32"))
+        scored = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score", data=buf.getvalue(),
+            headers={"Authorization": "Bearer sekrit"},
+        )
+        with urllib.request.urlopen(scored) as r:
+            assert len(json.loads(r.read())["scores"]) == 2
+    finally:
+        server.shutdown()
