@@ -1,0 +1,128 @@
+"""Worker for the 2-process DDPM TRAINING test (tests/test_multiprocess.py).
+
+Each process joins jax.distributed and drives the REAL DDPMTrainer.train CLI
+path — per-process loader partitioning, the GSPMD train step (gradient
+all-reduce compiled in), rank-0 checkpointing — then restarts and RESUMES from
+the written checkpoint across both processes. This is the torchrun-DDP
+training path of the reference (base.py:21-37,160-164) that previously had no
+real multi-process coverage (VERDICT r3 item 5).
+
+Three phases, markers parsed by the parent test:
+  A. parity: one epoch at a vanishing lr with DETERMINISTIC per-sample
+     (t, noise) -> `PARITY_LOSS <v>`; must equal a single-process epoch
+     (with frozen params the epoch mean is batching-invariant).
+  B. real training: 2 epochs, rank 0 writes checkpoint_2
+     -> `PARAMS_DIGEST_B <sha256>` (replica-consistency check across ranks).
+  C. resume: fresh trainer discovers checkpoint_2 (`RESUME_START <epoch>`),
+     trains to epoch 4, writes checkpoint_4
+     -> `PARAMS_DIGEST_C <sha256>`, `GLOBAL_STEP <n>`.
+
+Usage: python multiprocess_train_worker.py <coordinator> <num_procs> <pid> <args_json>
+"""
+
+import hashlib
+import json
+import os
+import sys
+from pathlib import Path
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # axon ignores JAX_PLATFORMS env var
+
+import numpy as np  # noqa: E402
+
+
+def deterministic_simplex_batch(num_train_timesteps: int):
+    """(t, noise) as a pure function of each sample's content — identical in
+    any process count / batch packing, which makes the frozen-params epoch
+    loss comparable bit-for-bit-ish (fp reduction order) across runs."""
+
+    def fn(images_cl: np.ndarray):
+        b = images_cl.shape[0]
+        sums = images_cl.reshape(b, -1).sum(1)
+        t = (np.abs(sums) * 9973.0).astype(np.int64) % num_train_timesteps
+        noise = np.stack([
+            np.random.default_rng(int(ti) + 17)
+            .normal(size=images_cl.shape[1:])
+            for ti in t
+        ])
+        return t.astype(np.int32), noise.astype(np.float32)
+
+    return fn
+
+
+def params_digest(params) -> str:
+    from ddpm_ood_tpu.utils import checkpoint as ckpt
+
+    leaves = jax.tree_util.tree_leaves(ckpt.to_host(params))
+    h = hashlib.sha256()
+    for leaf in leaves:
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+
+def main() -> None:
+    coordinator, num_procs, pid, args_json = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    import argparse
+
+    from ddpm_ood_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=coordinator, num_processes=num_procs, process_id=pid
+    )
+    assert jax.process_count() == num_procs
+
+    with open(args_json) as f:
+        base = json.load(f)
+
+    from jax.experimental import multihost_utils
+
+    from ddpm_ood_tpu.trainers import DDPMTrainer
+
+    # ---- phase A: frozen-params parity epoch -------------------------------
+    pa = argparse.Namespace(**{**base, "model_name": "mp_train_parity",
+                               "learning_rate": 1e-30})
+    trainer = DDPMTrainer(pa)
+    trainer._simplex_batch = deterministic_simplex_batch(
+        trainer.sched.num_train_timesteps
+    )
+    loss = trainer.train_epoch(0)
+    print(f"PARITY_LOSS {loss:.10f}")
+    multihost_utils.sync_global_devices("parity_done")
+
+    # ---- phase B: real 2-epoch training, rank-0 checkpoint ------------------
+    pb = argparse.Namespace(**{**base, "model_name": "mp_train_resume"})
+    t_b = DDPMTrainer(pb)
+    t_b._simplex_batch = deterministic_simplex_batch(
+        t_b.sched.num_train_timesteps
+    )
+    t_b.train(pb)
+    print(f"PARAMS_DIGEST_B {params_digest(t_b.state.params)}")
+    multihost_utils.sync_global_devices("train_b_done")
+
+    # ---- phase C: restart + cross-process resume ----------------------------
+    pc = argparse.Namespace(**{**base, "model_name": "mp_train_resume",
+                               "n_epochs": 4})
+    t_c = DDPMTrainer(pc)
+    assert t_c.found_checkpoint, "resume did not discover checkpoint_2"
+    print(f"RESUME_START {t_c.start_epoch}")
+    t_c._simplex_batch = deterministic_simplex_batch(
+        t_c.sched.num_train_timesteps
+    )
+    t_c.train(pc)
+    print(f"PARAMS_DIGEST_C {params_digest(t_c.state.params)}")
+    print(f"GLOBAL_STEP {t_c.global_step}")
+    multihost_utils.sync_global_devices("done")
+    print(f"train worker {pid}: OK")
+
+
+if __name__ == "__main__":
+    main()

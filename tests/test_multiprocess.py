@@ -135,3 +135,81 @@ def test_two_process_distributed(tmp_path):
         assert f"worker {pid}: OK" in out
     # rank 0 merged both shards into the final CSV
     assert (tmp_path / "results_val.csv").exists()
+
+
+def _marker(out: str, name: str) -> str:
+    lines = [ln for ln in out.splitlines() if ln.startswith(name + " ")]
+    assert lines, f"marker {name} missing:\n{out}"
+    return lines[-1].split(" ", 1)[1].strip()
+
+
+def test_two_process_ddpm_training_with_resume(tmp_path):
+    """The real train CLI path over 2 OS processes (VERDICT r3 item 5):
+    epoch loss matches a single-process run (frozen-params parity), the
+    trained replicas stay bit-identical across ranks, and a restart resumes
+    from rank 0's checkpoint on BOTH processes and finishes training."""
+    import argparse
+    import json
+
+    import numpy as np
+
+    from test_e2e import _make_dataset
+
+    rng = np.random.default_rng(0)
+    train_csv = _make_dataset(tmp_path, "train", 16, rng)
+    val_csv = _make_dataset(tmp_path, "val", 4, rng)
+
+    base = dict(
+        seed=2, output_dir=str(tmp_path / "output"), model_name="mp_train",
+        training_ids=train_csv, validation_ids=val_csv, spatial_dimension=2,
+        image_size=16, image_roi=None, latent_pad=None, vqvae_checkpoint=None,
+        prediction_type="epsilon", model_type="tiny",
+        beta_schedule="scaled_linear_beta", beta_start=0.0015, beta_end=0.0195,
+        b_scale=1.0, snr_shift=1, simplex_noise=1, batch_size=4, n_epochs=2,
+        eval_freq=10, augmentation=0, num_workers=2, cache_data=1,
+        checkpoint_every=2, ddpm_checkpoint_epoch=None, is_grayscale=1,
+        quick_test=0,
+    )
+
+    # ---- single-process parity reference (frozen params) ----------------------
+    from multiprocess_train_worker import deterministic_simplex_batch
+
+    from ddpm_ood_tpu.trainers import DDPMTrainer
+
+    pa = argparse.Namespace(**{**base, "model_name": "sp_train_parity",
+                               "learning_rate": 1e-30})
+    trainer = DDPMTrainer(pa)
+    trainer._simplex_batch = deterministic_simplex_batch(
+        trainer.sched.num_train_timesteps
+    )
+    single_loss = trainer.train_epoch(0)
+
+    # ---- the same run across 2 jax.distributed processes ----------------------
+    args_json = tmp_path / "train_args.json"
+    args_json.write_text(json.dumps(base))
+    worker = Path(__file__).parent / "multiprocess_train_worker.py"
+    outputs = _run_worker_pair(worker, [str(args_json)])
+    for pid, out in enumerate(outputs):
+        assert f"train worker {pid}: OK" in out
+
+    # frozen-params epoch loss is batching/process-count invariant
+    for out in outputs:
+        assert abs(float(_marker(out, "PARITY_LOSS")) - single_loss) < 1e-5, (
+            _marker(out, "PARITY_LOSS"), single_loss
+        )
+    # data-parallel replicas must stay bit-identical across ranks,
+    # through training AND through the restart+resume
+    for name in ("PARAMS_DIGEST_B", "PARAMS_DIGEST_C"):
+        assert _marker(outputs[0], name) == _marker(outputs[1], name), name
+    assert _marker(outputs[0], "PARAMS_DIGEST_B") != _marker(
+        outputs[0], "PARAMS_DIGEST_C"
+    ), "resume training did not change the weights"
+    # both ranks discovered rank 0's checkpoint_2 and resumed at epoch 2
+    for out in outputs:
+        assert _marker(out, "RESUME_START") == "2"
+        # 4 epochs x (16 images / 2 processes) per-process image counter,
+        # continued across the restart (reference counts images, :110)
+        assert _marker(out, "GLOBAL_STEP") == "32"
+    run_dir = tmp_path / "output" / "mp_train_resume"
+    assert (run_dir / "checkpoint_2").exists()
+    assert (run_dir / "checkpoint_4").exists()
