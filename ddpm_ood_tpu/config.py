@@ -331,12 +331,15 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "instead of the raw training weights. Framework extension.",
     )
     parser.add_argument(
-        "--quantize", default="none", choices=("none", "int8"),
-        help="Framework extension: post-training int8 quantization of the "
-        "UNet block convolutions for the scoring sweep (s8 x s8 -> s32 on "
-        "the MXU, 2x bf16 peak on v5e; ops/quant.py). Same checkpoint, no "
+        "--quantize", default="none", choices=("none", "int8", "w8", "mixed"),
+        help="Framework extension: post-training quantization of the UNet "
+        "block convolutions for the scoring sweep (ops/quant.py). int8: "
+        "s8 x s8 -> s32 on the MXU (2x bf16 peak on v5e); w8: weight-only "
+        "int8 (see ops/quant.py:wconv for the honest TPU semantics); mixed: "
+        "s8 x s8 only at >=512-wide convs where the lowering wins, bf16 "
+        "elsewhere (models/unet.py:MIXED_QUANT_MIN_CH). Same checkpoint, no "
         "calibration; validate quality via scripts/quality_check.py "
-        "--quantize int8.",
+        "--quantize <mode>.",
     )
     parser.add_argument(
         "--recon_groups", type=int, default=8,

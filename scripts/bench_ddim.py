@@ -39,7 +39,7 @@ def main() -> None:
     p.add_argument("--model", default=None, help="tiny/small/big")
     p.add_argument("--elbo", action="store_true",
                    help="score_elbo=True: measures the likelihood-term overhead")
-    p.add_argument("--quantize", default="none", choices=("none", "int8"),
+    p.add_argument("--quantize", default="none", choices=("none", "int8", "w8", "mixed"),
                    help="int8 PTQ of the UNet block convs (ops/quant.py): "
                    "2x MXU peak on v5e for the conv-bound sweep")
     p.add_argument("--quick", action="store_true")

@@ -111,7 +111,7 @@ def main() -> None:
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="train with a weight EMA at this decay and ALSO "
                         "score with --use_ema (reported as '<sampler>+ema')")
-    parser.add_argument("--quantize", default="none", choices=("none", "int8"),
+    parser.add_argument("--quantize", default="none", choices=("none", "int8", "w8", "mixed"),
                         help="ALSO score the first sampler with int8 PTQ "
                         "(reconstruct --quantize=int8), reported as "
                         "'<sampler>+int8' — side-by-side quality check of "

@@ -65,7 +65,7 @@ def parse_args(argv=None):
                    help="also return z_score_ssim per image (needs a "
                    "results_val.csv produced with reconstruct.py "
                    "--score_ssim=1)")
-    p.add_argument("--quantize", default="none", choices=("none", "int8"),
+    p.add_argument("--quantize", default="none", choices=("none", "int8", "w8", "mixed"),
                    help="int8 PTQ of the scoring UNet's block convs "
                    "(reconstruct.py --quantize; ops/quant.py)")
     p.add_argument("--recon_groups", type=int, default=8)

@@ -152,3 +152,83 @@ def test_reconstruct_cli_accepts_quantize():
     assert args.quantize == "int8"
     args = parse_args_reconstruct(["--output_dir=/tmp/x", "--model_name=m"])
     assert args.quantize == "none"
+
+
+@pytest.mark.parametrize("spatial", [2, 3])
+def test_wconv_tracks_f32_conv(spatial):
+    """Weight-only int8 (ops/quant.py:wconv): bf16/f32 activations, per-
+    output-channel s8 weights — must track the f32 conv within quantization
+    error (weights quantized, activations exact)."""
+    from ddpm_ood_tpu.ops.quant import wconv
+
+    rng = np.random.default_rng(11)
+    shape = (2,) + (6,) * spatial + (4,)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    kernel = jnp.asarray(
+        rng.normal(size=(3,) * spatial + (4, 8)).astype(np.float32)
+    )
+    bias = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    from ddpm_ood_tpu.ops.quant import _channel_last_dn
+    from jax import lax
+
+    ref = lax.conv_general_dilated(
+        x, kernel, (1,) * spatial, "SAME",
+        dimension_numbers=_channel_last_dn(x.ndim),
+    ) + bias
+    got = wconv(x, kernel, bias, dtype=jnp.float32)
+    rel = np.abs(np.asarray(got) - np.asarray(ref)) / (
+        np.abs(np.asarray(ref)) + 1e-6
+    )
+    # only the weights are quantized: tighter than the qconv tolerance
+    assert np.median(rel) < 0.01, np.median(rel)
+
+
+def test_mixed_quant_picks_per_conv_shape():
+    """--quantize=mixed: s8 x s8 only where min(cin, cout) >= the measured
+    threshold; narrow convs stay on the standard path."""
+    import flax.linen as nn
+
+    from ddpm_ood_tpu.models.unet import (
+        MIXED_QUANT_MIN_CH,
+        QuantConv,
+        QuantDense,
+        WeightOnlyQuantConv,
+        _pick_conv,
+        _pick_dense,
+    )
+
+    wide = MIXED_QUANT_MIN_CH
+    assert _pick_conv("mixed", wide, wide) is QuantConv
+    assert _pick_conv("mixed", wide - 1, wide) is nn.Conv
+    assert _pick_conv("mixed", 128, 256) is nn.Conv
+    assert _pick_conv("int8", 4, 4) is QuantConv
+    assert _pick_conv("w8", 4, 4) is WeightOnlyQuantConv
+    assert _pick_conv(None, wide, wide) is nn.Conv
+    assert _pick_dense("mixed", wide) is QuantDense
+    assert _pick_dense("mixed", 256) is nn.Dense
+    assert _pick_dense("w8", wide) is nn.Dense
+
+
+@pytest.mark.parametrize("mode", ["w8", "mixed"])
+def test_quant_modes_share_param_tree_and_track_f32(mode):
+    """w8/mixed load any standard checkpoint unchanged and track f32 output."""
+    u0 = make_unet("tiny", 2, 1, 1)
+    uq = make_unet("tiny", 2, 1, 1, quant=mode)
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(2, 16, 16, 1)).astype(np.float32)
+    )
+    t = jnp.asarray([10, 500])
+    p0 = u0.init(jax.random.PRNGKey(0), x, t)["params"]
+    pq = uq.init(jax.random.PRNGKey(0), x, t)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(pq)
+    params = _random_params(u0, x, t)
+    y0 = u0.apply({"params": params}, x, t)
+    yq = uq.apply({"params": params}, x, t)
+    cos = float(
+        (y0 * yq).sum() / (jnp.linalg.norm(y0) * jnp.linalg.norm(yq) + 1e-12)
+    )
+    # tiny preset is all-narrow: "mixed" quantizes nothing -> bit-identical
+    if mode == "mixed":
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(yq))
+    else:
+        assert cos > 0.999, cos
