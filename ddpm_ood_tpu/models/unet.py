@@ -22,6 +22,7 @@ TPU-first choices (not a torch translation):
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -118,11 +119,13 @@ class WeightOnlyQuantConv(nn.Module):
         ).astype(self.dtype)
 
 
-# The s8 x s8 conv lowering only beats bf16 at wide channels (measured on
-# chip, scripts/bench_quant_micro.py: 1.5-1.6x at 512-768, LOSES at 128-256,
-# DESIGN.md "int8 scoring"); `--quantize=mixed` quantizes exactly the convs
-# at/above this width and leaves the rest on the good bf16 path.
-MIXED_QUANT_MIN_CH = 512
+# The s8 x s8 conv lowering's win over bf16 grows with channel width
+# (measured on chip, scripts/bench_quant_micro.py: 1.5-1.6x at 512-768, only
+# ~1.25x at 256, a net loss at the small UNet's 128-wide level — DESIGN.md
+# "int8 scoring"); `--quantize=mixed` quantizes exactly the convs at/above
+# this width and leaves the rest on the bf16 path. Overridable for width
+# sweeps: DDPM_OOD_TPU_MIXED_MIN_CH.
+MIXED_QUANT_MIN_CH = int(os.environ.get("DDPM_OOD_TPU_MIXED_MIN_CH", "512"))
 
 
 def _pick_conv(quant: str | None, cin: int, cout: int):

@@ -52,6 +52,16 @@ def _jobs(full: bool):
                             "--model", "big", "--shape", "32", "32", "3",
                             "--skip", "8", "--batch", "16", "--groups", "13",
                             "--quantize", "int8"], 3600),
+        ("sweep_plms_w8", [PY, "scripts/bench_ddim.py", "--sampler", "plms",
+                           "--quantize", "w8"], 2400),
+        ("sweep_big_mixed", [PY, "scripts/bench_ddim.py", "--sampler", "plms",
+                             "--model", "big", "--shape", "32", "32", "3",
+                             "--skip", "8", "--batch", "16", "--groups", "13",
+                             "--quantize", "mixed"], 3600),
+        ("sweep_3d_ldm_int8", [PY, "scripts/bench_ddim.py", "--sampler", "plms",
+                               "--shape", "20", "20", "16", "128",
+                               "--skip", "16", "--batch", "8", "--groups", "3",
+                               "--quantize", "int8"], 3600),
         ("plms_ref", [PY, "scripts/bench_plms_ref.py"], 2400),
         ("train_step", [PY, "scripts/train_bench.py"], 2400),
         ("serve_latency", [PY, "scripts/bench_serve.py"], 2400),
@@ -66,9 +76,8 @@ def _jobs(full: bool):
             ("coldstart_parallel", [PY, "scripts/bench_coldstart.py",
                                     "--parallel", "1"], 1800),
             ("quality_harness", [PY, "scripts/quality_check.py",
-                                 "--epochs", "80", "--steps", "100",
-                                 "--skip", "4",
-                                 "--samplers", "plms,dpm@25/1"], 7200),
+                                 "--pinned"], 7200),
+            ("profile_3d_sweep", [PY, "scripts/profile_3d_sweep.py"], 2400),
         ]
     return j
 

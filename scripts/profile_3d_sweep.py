@@ -97,7 +97,9 @@ def _unet_phase(shape, mega_batch, attention, steps, dtype, spatial_dims):
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=8)
+    # 32+ scan steps so the ~28 ms tunnel dispatch amortizes below 1 ms/step
+    # (DESIGN.md "Per-call dispatch overhead")
+    p.add_argument("--steps", type=int, default=48)
     p.add_argument("--mega3d", type=int, default=24,
                    help="3D mega-batch (production: G=3 over K=7 x batch 8 -> 24)")
     p.add_argument("--mega2d", type=int, default=64,
@@ -124,16 +126,21 @@ def main() -> None:
         shape3d, mb3d = (8, 8, 8, 16), 2
         shape2d, mb2d = (16, 16, 1), 2
 
+    # NOTE on FLOPs: the TPU executable's cost_analysis through the tunnel is
+    # unreliable (BASELINE.md); the "tflop" fields are advisory. The load-
+    # bearing outputs are the per-image-eval milliseconds — compared against
+    # the REAL sweep's per-eval time (sweep_s x groups / image-evals from
+    # bench_ddim), which shares their units by construction.
     results = {}
     t3, f3 = _unet_phase(shape3d, mb3d, (False, False, True), args.steps, dtype, 3)
-    results["fwd_3d"] = {"ms": t3 * 1e3, "tflop": f3 / 1e12 if f3 else None,
-                         "mfu": f3 / t3 / V5E_PEAK if f3 else None}
+    results["fwd_3d"] = {"ms": t3 * 1e3, "per_eval_ms": t3 * 1e3 / mb3d,
+                         "tflop": f3 / 1e12 if f3 else None}
     tn, fn_ = _unet_phase(shape3d, mb3d, (False, False, False), args.steps, dtype, 3)
-    results["fwd_3d_noattn"] = {"ms": tn * 1e3, "tflop": fn_ / 1e12 if fn_ else None,
-                                "mfu": fn_ / tn / V5E_PEAK if fn_ else None}
+    results["fwd_3d_noattn"] = {"ms": tn * 1e3, "per_eval_ms": tn * 1e3 / mb3d,
+                                "tflop": fn_ / 1e12 if fn_ else None}
     t2, f2 = _unet_phase(shape2d, mb2d, (False, False, True), args.steps, dtype, 2)
-    results["fwd_2d"] = {"ms": t2 * 1e3, "tflop": f2 / 1e12 if f2 else None,
-                         "mfu": f2 / t2 / V5E_PEAK if f2 else None}
+    results["fwd_2d"] = {"ms": t2 * 1e3, "per_eval_ms": t2 * 1e3 / mb2d,
+                         "tflop": f2 / 1e12 if f2 else None}
 
     # PLMS scaffolding: the x-update + AB coefficients with a free model,
     # at the 3D sweep's mega-batch geometry
@@ -152,7 +159,12 @@ def main() -> None:
     def tail(state, i):
         eps = 0.1 * state.x  # free "model"
         t = jnp.maximum(990 - i * 10, 10).astype(jnp.int32)
-        return plms_step(sched, state, eps, t, 10)
+        s2 = plms_step(sched, state, eps, t, 10)
+        # plms_step computes in f32; cast back so the scan carry type is stable
+        return PLMSState(
+            x=s2.x.astype(dtype), ets=s2.ets.astype(dtype),
+            counter=s2.counter, cur_sample=s2.cur_sample.astype(dtype),
+        )
 
     tt, _ = _time_scanned(tail, state0, args.steps)
     results["plms_tail_3d"] = {"ms": tt * 1e3}

@@ -112,9 +112,9 @@ def main() -> None:
                         help="train with a weight EMA at this decay and ALSO "
                         "score with --use_ema (reported as '<sampler>+ema')")
     parser.add_argument("--quantize", default="none", choices=("none", "int8", "w8", "mixed"),
-                        help="ALSO score the first sampler with int8 PTQ "
-                        "(reconstruct --quantize=int8), reported as "
-                        "'<sampler>+int8' — side-by-side quality check of "
+                        help="ALSO score the first sampler with this PTQ mode "
+                        "(reconstruct --quantize=<mode>), reported as "
+                        "'<sampler>+<mode>' — side-by-side quality check of "
                         "the quantized scoring path")
     parser.add_argument("--elbo", action="store_true",
                         help="reconstruct with --score_elbo and additionally "
