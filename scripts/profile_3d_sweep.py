@@ -106,6 +106,10 @@ def main() -> None:
                    help="2D mega-batch (headline: G=16 over K=25 x batch 32 -> 64)")
     p.add_argument("--quick", action="store_true",
                    help="tiny shapes/batches — smoke only, numbers meaningless")
+    p.add_argument("--dtype", default=None, choices=(None, "bfloat16", "float32"),
+                   help="override the compute dtype (default: bf16 on TPU, f32 "
+                   "elsewhere) — lets CPU smoke tests cover the bf16 carry "
+                   "paths the TPU run exercises")
     p.add_argument("--trace_dir", default=None,
                    help="also capture a jax.profiler device trace of the 3D fwd")
     args = p.parse_args()
@@ -115,7 +119,10 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", str(cache))
 
     on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    dtype = (
+        jnp.dtype(args.dtype) if args.dtype
+        else (jnp.bfloat16 if on_tpu else jnp.float32)
+    )
     # 3D sweep mega-batch: G=3 over K=7 lanes x batch 8 -> largest program 24
     shape3d = (20, 20, 16, 128)
     mb3d = args.mega3d
