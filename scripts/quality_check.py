@@ -39,9 +39,11 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def make_dataset(root: Path, name: str, n: int, size: int, rng, kind: str = "in"):
+def make_dataset(root: Path, name: str, n: int, size: int, rng, kind: str = "in",
+                 near_freq: float = 4.0):
     """kind: 'in' smooth sinusoids | 'ood' checkerboards | 'near' perturbed
-    sinusoids (the de-saturated target)."""
+    sinusoids (the de-saturated target; `near_freq` sets how near — training
+    spectrum is freq {1, 2}, so 3.0 is harder than 4.0)."""
     from ddpm_ood_tpu.data.csv_splits import write_split_csv
 
     d = root / name
@@ -54,7 +56,7 @@ def make_dataset(root: Path, name: str, n: int, size: int, rng, kind: str = "in"
         else:
             phase = rng.uniform(0, 2 * np.pi)
             # training spectrum is freq {1, 2}; 'near' sits just outside it
-            freq = 4.0 if kind == "near" else rng.choice([1.0, 2.0])
+            freq = near_freq if kind == "near" else rng.choice([1.0, 2.0])
             img = (
                 0.5 + 0.5 * np.sin(2 * np.pi * freq * (xx + yy) / size + phase)
             ).astype(np.float32)[None]
@@ -123,11 +125,22 @@ def main() -> None:
                         help="reconstruct with --score_ssim and additionally "
                         "report the ssim_distance / mse+ssim AUROCs")
     parser.add_argument("--workdir", default=None)
+    parser.add_argument("--near_freq", type=float, default=4.0,
+                        help="frequency of the 'hard' near-OOD sinusoids "
+                        "(training spectrum is {1,2}; 3.0 is nearer/harder "
+                        "than the default 4.0)")
+    parser.add_argument("--n_eval", type=int, default=16,
+                        help="images per val/in/out evaluation set (more "
+                        "images = finer AUROC resolution, tighter CIs)")
     parser.add_argument("--pinned", action="store_true",
                         help="run the FIXED per-round regression config "
                         "(epochs=80, size=16, n_train=32, headline 100/4 grid, "
-                        "samplers plms,dpm@25/1,ddim@25/1, fixed seeds) so "
-                        "QUALITY_r0N.json files diff cleanly across rounds")
+                        "samplers plms,dpm@25/1,ddim@25/1, near_freq=3, "
+                        "n_eval=64, fixed seeds) so QUALITY_r0N.json files "
+                        "diff cleanly across rounds. The freq-4 task "
+                        "SATURATES (AUROC 1.0) on a well-trained 80-epoch "
+                        "model — measured round 4 — so the pinned gate uses "
+                        "the nearer freq-3 task at 4x eval images")
     parser.add_argument("--out", default=None,
                         help="also write the result JSON to this path "
                         "(e.g. QUALITY_r04.json)")
@@ -147,16 +160,18 @@ def main() -> None:
         args.ema_decay = 0.0
         args.quantize = "none"
         args.elbo = args.ssim = False
+        args.near_freq, args.n_eval = 3.0, 64
 
     from ddpm_ood_tpu.trainers import DDPMTrainer, Reconstruct
 
     root = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp())
     rng = np.random.default_rng(0)
     train_csv = make_dataset(root, "train", args.n_train, args.size, rng)
-    val_csv = make_dataset(root, "val", 16, args.size, rng)
-    in_csv = make_dataset(root, "inset", 16, args.size, rng)
-    out_csv = make_dataset(root, "outset", 16, args.size, rng, kind="ood")
-    near_csv = make_dataset(root, "nearset", 16, args.size, rng, kind="near")
+    val_csv = make_dataset(root, "val", args.n_eval, args.size, rng)
+    in_csv = make_dataset(root, "inset", args.n_eval, args.size, rng)
+    out_csv = make_dataset(root, "outset", args.n_eval, args.size, rng, kind="ood")
+    near_csv = make_dataset(root, "nearset", args.n_eval, args.size, rng,
+                            kind="near", near_freq=args.near_freq)
 
     ns = argparse.Namespace(
         seed=2, output_dir=str(root / "output"), model_name="quality_fashionmnist",
@@ -231,7 +246,10 @@ def main() -> None:
     payload = {
         "metric": "synthetic_ood_auroc_hard",
         "value": per_sampler[first]["hard"]["auroc"],
-        "unit": "AUROC (freq-1/2 sinusoids vs freq-4 sinusoids, tiny 2D DDPM)",
+        "unit": (
+            f"AUROC (freq-1/2 sinusoids vs freq-{args.near_freq:g} sinusoids,"
+            " tiny 2D DDPM)"
+        ),
         "vs_baseline": per_sampler[first]["hard"]["auroc"],
         "easy_auroc": per_sampler[first]["easy"]["auroc"],
         "simplex": bool(args.simplex),
@@ -240,6 +258,7 @@ def main() -> None:
         "config": {
             "epochs": args.epochs, "size": args.size, "n_train": args.n_train,
             "steps": args.steps, "skip": args.skip, "samplers": args.samplers,
+            "near_freq": args.near_freq, "n_eval": args.n_eval,
             "data_seed": 0, "train_seed": 2,
         },
         "backend": jax.default_backend(),
