@@ -140,3 +140,49 @@ def test_recon_program_dpm_end_to_end():
     assert mse.shape == (len(t_starts), 2)
     assert np.isfinite(np.asarray(mse)).all()
     assert (np.asarray(mse) > 0).all()
+
+
+def test_dpm_exact_epsilon_recovers_x0_3d():
+    """The 3D-latent twin of the exact-epsilon recovery: the solver math is
+    rank-agnostic, but the 3D LDM sweep ships with --sampler=dpm (measured
+    on chip, BASELINE.md), so the 3D shape path gets its own gate."""
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.uniform(size=(2, 6, 6, 4, 3)).astype(np.float32))
+    steps = 10
+    ts = dpm_timesteps(1000, steps)
+    noise = jax.random.normal(jax.random.PRNGKey(6), x0.shape)
+    x_t = add_noise(SCHED, x0, noise, jnp.full((x0.shape[0],), int(ts[0])))
+
+    def exact_eps_model(x, t):
+        acp = SCHED.alphas_cumprod[t].reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - jnp.sqrt(acp) * x0) / jnp.sqrt(1.0 - acp)
+
+    out = dpm_denoise(
+        SCHED, exact_eps_model, x_t, jnp.asarray(ts),
+        jnp.asarray(int(ts[0])), steps,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_recon_program_dpm_3d_separates_structural_ood():
+    """3D dpm sweep end-to-end: a toy epsilon model trained on nothing cannot
+    gate quality, but the program must run the 3D latent shape and produce
+    per-(lane, volume) finite metrics with volume-distinct values."""
+    prog = ReconProgram(
+        sched=SCHED,
+        model_fn=jax.tree_util.Partial(_toy_model_fn),
+        num_inference_steps=10,
+        inference_skip_factor=3,
+        sampler="dpm",
+        num_groups=2,
+    )
+    vols = jnp.asarray(
+        np.random.default_rng(7).uniform(size=(2, 6, 6, 4, 3)).astype(np.float32)
+    )
+    t_starts, mse, perc = prog(vols, jax.random.PRNGKey(1))
+    mse = np.asarray(mse)
+    assert mse.shape == (len(t_starts), 2)
+    assert np.isfinite(mse).all() and (mse > 0).all()
+    # two different volumes in one batch must not share scores
+    assert not np.allclose(mse[:, 0], mse[:, 1])
