@@ -342,11 +342,12 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "--quantize <mode>.",
     )
     parser.add_argument(
-        "--recon_groups", type=int, default=8,
+        "--recon_groups", default="auto",
         help="Lane groups in the batched sweep (framework extension): more "
-        "groups = less masked-lane waste but one compile per group. Default "
-        "autotuned on TPU v5e for 2D (scripts/autotune_sweep.py); for 3D LDM "
-        "latents 3-4 measured faster (mega-batch utilization dominates).",
+        "groups = less masked-lane waste but one compile per group. 'auto' "
+        "(default) picks the v5e-autotuned optimum per dimensionality — 16 "
+        "for 2D, 3 for 3D (scripts/autotune_sweep.py grids, DESIGN.md) — or "
+        "pass an integer.",
     )
     args = parser.parse_args(argv)
     if args.eval_checkpoint and not args.ddpm_checkpoint_epoch:

@@ -42,6 +42,21 @@ from .ood.score import dedup
 from .recon.sweep import ReconProgram
 
 
+def resolve_recon_groups(value, spatial_dimension: int) -> int:
+    """'auto' -> the autotuned lane-group count measured on v5e
+    (scripts/autotune_sweep.py grids, DESIGN.md): 2D -> 16 (G=3 255.7,
+    G=8 351.3, G=16 375.3, G=25 377.3 recons/s — 16 is within 0.5% of the
+    best at 9 fewer compiles), 3D -> 3 (mega-batch utilization beats
+    masked-eval savings: G=3 20.6 vs G=5 15.7, G=7 14.6 latent-recons/s).
+    Integers pass through; the sweep clamps to the start-point count."""
+    if value is None:
+        value = "auto"
+    s = str(value).strip().lower()
+    if s == "auto":
+        return 16 if int(spatial_dimension) == 2 else 3
+    return int(s)
+
+
 def build_recon_program(
     trainer,
     args,
@@ -63,7 +78,10 @@ def build_recon_program(
         ),
         b_scale=trainer.b_scale,
         sampler=getattr(args, "sampler", "plms"),
-        num_groups=int(getattr(args, "recon_groups", 8)),
+        num_groups=resolve_recon_groups(
+            getattr(args, "recon_groups", "auto"),
+            getattr(args, "spatial_dimension", 2),
+        ),
         latent_pad=trainer.latent_pad,
         encode_fn=trainer.encode_fn,
         decode_fn=trainer.decode_fn,

@@ -68,7 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--quantize", default="none", choices=("none", "int8", "w8", "mixed"),
                    help="int8 PTQ of the scoring UNet's block convs "
                    "(reconstruct.py --quantize; ops/quant.py)")
-    p.add_argument("--recon_groups", type=int, default=8)
+    p.add_argument("--recon_groups", default="auto",
+                   help="lane groups in the compiled sweep; 'auto' = the "
+                   "v5e-autotuned optimum (16 for 2D, 3 for 3D) or an integer")
     p.add_argument("--batch_size", type=int, default=8,
                    help="compiled request batch; requests up to this size share "
                    "one compile")

@@ -225,3 +225,23 @@ def test_warmup_plms_ref_noop(sched):
         inference_skip_factor=3, sampler="plms_ref",
     )
     assert prog.warmup(jnp.zeros((2, 8, 8, 1))) == 0.0
+
+
+def test_resolve_recon_groups_auto_and_int():
+    """--recon_groups=auto picks the v5e-autotuned optimum per dimensionality
+    (16 for 2D, 3 for 3D — DESIGN.md grids); integers pass through."""
+    from ddpm_ood_tpu.config import parse_args_reconstruct
+    from ddpm_ood_tpu.serve import resolve_recon_groups
+
+    assert resolve_recon_groups("auto", 2) == 16
+    assert resolve_recon_groups("auto", 3) == 3
+    assert resolve_recon_groups(None, 3) == 3
+    assert resolve_recon_groups("5", 2) == 5
+    assert resolve_recon_groups(7, 3) == 7
+
+    args = parse_args_reconstruct(["--output_dir=/tmp/x", "--model_name=m"])
+    assert args.recon_groups == "auto"
+    args = parse_args_reconstruct(
+        ["--output_dir=/tmp/x", "--model_name=m", "--recon_groups=4"]
+    )
+    assert resolve_recon_groups(args.recon_groups, 2) == 4
