@@ -62,6 +62,15 @@ def _jobs(full: bool):
                                "--shape", "20", "20", "16", "128",
                                "--skip", "16", "--batch", "8", "--groups", "3",
                                "--quantize", "int8"], 3600),
+        ("sweep_3d_dpm", [PY, "scripts/bench_ddim.py", "--sampler", "dpm",
+                          "--steps", "25", "--skip", "1",
+                          "--shape", "20", "20", "16", "128",
+                          "--batch", "8", "--groups", "3"], 3600),
+        ("sweep_3d_dpm_int8", [PY, "scripts/bench_ddim.py", "--sampler", "dpm",
+                               "--steps", "25", "--skip", "1",
+                               "--shape", "20", "20", "16", "128",
+                               "--batch", "8", "--groups", "3",
+                               "--quantize", "int8"], 3600),
         ("plms_ref", [PY, "scripts/bench_plms_ref.py"], 2400),
         ("train_step", [PY, "scripts/train_bench.py"], 2400),
         ("serve_latency", [PY, "scripts/bench_serve.py"], 2400),
