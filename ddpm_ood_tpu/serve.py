@@ -477,6 +477,62 @@ class BatchingScoringService:
                     r["event"].set()
 
 
+def collect_stats(service: ScoringService) -> Dict[str, object]:
+    """The /statz payload: ops counters + derived rates + drift indicators."""
+    s = dict(service.stats)
+    sweeps = max(int(s["sweeps"]), 1)
+    s["mean_sweep_seconds"] = s["device_seconds"] / sweeps
+    s["coalescing_ratio"] = s["requests"] / sweeps if s["requests"] else 0.0
+    # drift: windowed mean z over the LAST drift_window served images
+    # (validation-calibrated traffic hovers near 0; a climb = recent input
+    # shift). The lifetime mean is kept for continuity but goes inert once
+    # `images` is large.
+    ring = list(service._drift_ring)
+    s["mean_served_z_mse"] = sum(ring) / len(ring) if ring else 0.0
+    s["drift_window"] = service.drift_window
+    s["drift_window_filled"] = len(ring)
+    s["lifetime_mean_z_mse"] = (
+        s.pop("z_mse_sum") / s["images"] if s["images"] else 0.0
+    )
+    thr = getattr(service, "z_thresholds", None)
+    if thr:
+        s["flag_fpr"] = service.flag_fpr
+        s["z_thresholds"] = thr
+    return s
+
+
+# (metric name, /statz key, prometheus type) for the scrape endpoint
+_PROM_METRICS = (
+    ("ddpm_ood_requests_total", "requests", "counter"),
+    ("ddpm_ood_images_total", "images", "counter"),
+    ("ddpm_ood_sweeps_total", "sweeps", "counter"),
+    ("ddpm_ood_reloads_total", "reloads", "counter"),
+    ("ddpm_ood_device_seconds_total", "device_seconds", "counter"),
+    ("ddpm_ood_mean_sweep_seconds", "mean_sweep_seconds", "gauge"),
+    ("ddpm_ood_coalescing_ratio", "coalescing_ratio", "gauge"),
+    ("ddpm_ood_mean_served_z_mse", "mean_served_z_mse", "gauge"),
+    ("ddpm_ood_drift_window_filled", "drift_window_filled", "gauge"),
+    ("ddpm_ood_lifetime_mean_z_mse", "lifetime_mean_z_mse", "gauge"),
+)
+
+
+def prometheus_text(service: ScoringService) -> str:
+    """GET /metricz: the same stats in Prometheus exposition format (text/plain
+    0.0.4) so a scraper needs no JSON glue. Framework extension — the
+    reference has no serving at all."""
+    s = collect_stats(service)
+    lines = []
+    for name, key, kind in _PROM_METRICS:
+        lines.append(f"# TYPE {name} {kind}")
+        lines.append(f"{name} {float(s[key]):g}")
+    for target, value in (s.get("z_thresholds") or {}).items():
+        name = "ddpm_ood_z_threshold"
+        if not any(line.startswith(f"# TYPE {name} ") for line in lines):
+            lines.append(f"# TYPE {name} gauge")
+        lines.append(f'{name}{{target="{target}"}} {float(value):g}')
+    return "\n".join(lines) + "\n"
+
+
 def make_handler(service: ScoringService, auth_token: Optional[str] = None):
     """auth_token: when set, every endpoint except GET /healthz (left open
     for load-balancer probes) requires `Authorization: Bearer <token>`;
@@ -516,30 +572,16 @@ def make_handler(service: ScoringService, auth_token: Optional[str] = None):
                     "t_starts": [int(t) for t in service.program.t_starts],
                 })
             elif self.path == "/statz":
-                s = dict(service.stats)
-                sweeps = max(int(s["sweeps"]), 1)
-                s["mean_sweep_seconds"] = s["device_seconds"] / sweeps
-                s["coalescing_ratio"] = (
-                    s["requests"] / sweeps if s["requests"] else 0.0
+                self._json(200, collect_stats(service))
+            elif self.path == "/metricz":
+                body = prometheus_text(service).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
                 )
-                # drift: windowed mean z over the LAST drift_window served
-                # images (validation-calibrated traffic hovers near 0; a
-                # climb = recent input shift). The lifetime mean is kept for
-                # continuity but goes inert once `images` is large.
-                ring = list(service._drift_ring)
-                s["mean_served_z_mse"] = (
-                    sum(ring) / len(ring) if ring else 0.0
-                )
-                s["drift_window"] = service.drift_window
-                s["drift_window_filled"] = len(ring)
-                s["lifetime_mean_z_mse"] = (
-                    s.pop("z_mse_sum") / s["images"] if s["images"] else 0.0
-                )
-                thr = getattr(service, "z_thresholds", None)
-                if thr:
-                    s["flag_fpr"] = service.flag_fpr
-                    s["z_thresholds"] = thr
-                self._json(200, s)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

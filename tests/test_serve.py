@@ -618,3 +618,62 @@ def test_bearer_token_auth(service):
             assert len(json.loads(r.read())["scores"]) == 2
     finally:
         server.shutdown()
+
+
+def test_metricz_prometheus_exposition(program):
+    """GET /metricz serves the ops stats in Prometheus text format (0.0.4):
+    TYPE lines, counter/gauge values, and labeled z-threshold gauges."""
+    det = _deterministic_program(program)
+    svc = ScoringService(det, _val_stats(program), batch_size=4,
+                         model_name="t", flag_fpr=0.25)
+    svc.score(np.random.default_rng(9).uniform(
+        size=(2, SIZE, SIZE, 1)).astype("float32"))
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.server_port}/metricz"
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        lines = text.strip().splitlines()
+        metrics = {}
+        for ln in lines:
+            if ln.startswith("#"):
+                continue
+            name, value = ln.rsplit(" ", 1)
+            metrics[name] = float(value)
+        assert metrics["ddpm_ood_images_total"] == 2.0
+        assert metrics["ddpm_ood_sweeps_total"] == 1.0
+        assert metrics["ddpm_ood_device_seconds_total"] > 0
+        assert "ddpm_ood_mean_served_z_mse" in metrics
+        # labeled threshold gauges (flag_fpr set on this service)
+        assert any(k.startswith('ddpm_ood_z_threshold{target="mse"}')
+                   for k in metrics)
+        # every sample has a TYPE declaration
+        for ln in lines:
+            if ln.startswith("#"):
+                assert ln.startswith("# TYPE ddpm_ood_")
+    finally:
+        server.shutdown()
+
+
+def test_metricz_requires_auth_when_token_set(service):
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(service, auth_token="sekrit")
+    )
+    port = server.server_port
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/metricz")
+        assert e.value.code == 401
+        ok = urllib.request.Request(
+            f"http://127.0.0.1:{port}/metricz",
+            headers={"Authorization": "Bearer sekrit"},
+        )
+        with urllib.request.urlopen(ok) as r:
+            assert b"ddpm_ood_requests_total" in r.read()
+    finally:
+        server.shutdown()
