@@ -7,9 +7,13 @@
 # tests/test_ldm_3d.py (same pipeline, CPU, in-process).
 #
 # Usage: scripts/smoke_3d_ldm.sh [workspace_dir]
+#   SAMPLER=dpm STEPS=25 SKIP=1 scripts/smoke_3d_ldm.sh  # sweep variants
 set -ex
 WS=${1:-/tmp/ldm3d_smoke}
 export WS
+SAMPLER=${SAMPLER:-plms}
+STEPS=${STEPS:-10}
+SKIP=${SKIP:-3}
 rm -rf $WS && mkdir -p $WS
 cd "$(dirname "$0")/.."
 python - <<'PY'
@@ -72,7 +76,8 @@ timeout 2400 python reconstruct.py --output_dir=$WS/output --model_name=ldm_deca
   --out_ids=$WS/Task02_Heart_test.csv,$WS/Task03_Liver_test.csv,$WS/Task04_Hippocampus_test.csv,$WS/Task05_Prostate_test.csv,$WS/Task06_Lung_test.csv,$WS/Task07_Pancreas_test.csv,$WS/Task08_HepaticVessel_test.csv,$WS/Task09_Spleen_test.csv,$WS/Task10_Colon_test.csv \
   --spatial_dimension=3 --image_size=32 --is_grayscale=0 --model_type=tiny \
   --beta_schedule=scaled_linear_beta --beta_start=0.0015 --beta_end=0.0195 \
-  --batch_size=2 --num_inference_steps=10 --inference_skip_factor=3
+  --batch_size=2 --sampler=$SAMPLER \
+  --num_inference_steps=$STEPS --inference_skip_factor=$SKIP
 # stage 4: score
 python ood_detection.py --output_dir=$WS/output --model_name=ldm_decathlon
 echo LDM3D_TPU_ALL_OK
