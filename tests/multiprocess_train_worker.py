@@ -87,6 +87,15 @@ def main() -> None:
 
     from ddpm_ood_tpu.trainers import DDPMTrainer
 
+    # Initialize the gloo transport NOW, while cross-process skew is tiny:
+    # the first CPU collective has a hard ~30 s peer deadline, and under
+    # heavy host load the per-process train-step compiles can skew past it
+    # (observed in-suite: "Gloo context initialization failed:
+    # DEADLINE_EXCEEDED"). A sync right after the rendezvous initializes the
+    # context when both processes are provably at the same line; the
+    # re-syncs before each phase keep the skew bounded by one phase.
+    multihost_utils.sync_global_devices("gloo_init")
+
     # ---- phase A: frozen-params parity epoch -------------------------------
     pa = argparse.Namespace(**{**base, "model_name": "mp_train_parity",
                                "learning_rate": 1e-30})
@@ -94,6 +103,7 @@ def main() -> None:
     trainer._simplex_batch = deterministic_simplex_batch(
         trainer.sched.num_train_timesteps
     )
+    multihost_utils.sync_global_devices("phase_a_start")
     loss = trainer.train_epoch(0)
     print(f"PARITY_LOSS {loss:.10f}")
     multihost_utils.sync_global_devices("parity_done")
@@ -104,6 +114,7 @@ def main() -> None:
     t_b._simplex_batch = deterministic_simplex_batch(
         t_b.sched.num_train_timesteps
     )
+    multihost_utils.sync_global_devices("phase_b_start")
     t_b.train(pb)
     print(f"PARAMS_DIGEST_B {params_digest(t_b.state.params)}")
     multihost_utils.sync_global_devices("train_b_done")
@@ -117,6 +128,7 @@ def main() -> None:
     t_c._simplex_batch = deterministic_simplex_batch(
         t_c.sched.num_train_timesteps
     )
+    multihost_utils.sync_global_devices("phase_c_start")
     t_c.train(pc)
     print(f"PARAMS_DIGEST_C {params_digest(t_c.state.params)}")
     print(f"GLOBAL_STEP {t_c.global_step}")
