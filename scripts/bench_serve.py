@@ -34,6 +34,15 @@ import pandas as pd
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--sampler", default="plms", choices=("plms", "ddim", "dpm"),
+                   help="sweep sampler behind the service (dpm with "
+                   "--steps 25 --skip 1 is the fastest measured grid)")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--skip", type=int, default=4)
+    p.add_argument("--quantize", default="none",
+                   choices=("none", "int8", "w8", "mixed"),
+                   help="int8 PTQ of the scoring UNet (reconstruct.py "
+                   "--quantize; ops/quant.py)")
     p.add_argument("--batch_window_ms", type=float, default=0.0,
                    help="also measure dynamic batching: N concurrent\n"
                    "single-image clients against a\n"
@@ -58,12 +67,15 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     batch = 4 if args.quick else args.batch
-    steps = 10 if args.quick else 100
-    skip = 3 if args.quick else 4
+    steps = 10 if args.quick else args.steps
+    skip = 3 if args.quick else args.skip
     model = "tiny" if args.quick else "small"
     size = 32
 
-    unet = make_unet(model, 2, 1, 1, dtype=dtype)
+    unet = make_unet(
+        model, 2, 1, 1, dtype=dtype,
+        quant=None if args.quantize == "none" else args.quantize,
+    )
     params = unet.init(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1)),
         jnp.zeros((1,), jnp.int32),
@@ -74,7 +86,8 @@ def main() -> None:
     sched = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
     prog = ReconProgram(
         sched=sched, model_fn=model_fn, num_inference_steps=steps,
-        inference_skip_factor=skip, num_groups=2 if args.quick else 16,
+        inference_skip_factor=skip, sampler=args.sampler,
+        num_groups=2 if args.quick else 16,
     )
     rows = []
     for t in (int(t) for t in prog.t_starts):
@@ -115,6 +128,10 @@ def main() -> None:
         "bench": "serve_http",
         "backend": jax.default_backend(),
         "model": model,
+        "sampler": args.sampler,
+        "steps": steps,
+        "skip": skip,
+        "quantize": args.quantize,
         "batch": batch,
         "batch_window_ms": args.batch_window_ms,
         "full_batch_latency_s": round(full, 3),
