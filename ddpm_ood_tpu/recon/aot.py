@@ -1,0 +1,220 @@
+"""AOT-compiled sweep artifacts: serialize a ReconProgram's compiled
+lane-group executables to one file and load them back with ZERO tracing and
+ZERO XLA compilation.
+
+Why: a serving cold start compiles one XLA program per lane group (16 at the
+2D default). Through a remote-compile tunnel that costs ~130 s concurrent /
+~206 s serial (scripts/bench_coldstart.py); even with a warm persistent
+compile cache every restart still re-traces each group's scan-of-UNet program
+before the cache can be consulted. The artifact skips both: a restart
+deserializes the executables directly (jax.experimental.serialize_executable)
+and the first request runs at warm latency.
+
+Scope and pinning (checked at load, loud errors):
+  - same jax version, same backend platform / device kind / device count as
+    the saving process (the payload is a compiled XLA executable, not IR);
+  - same sweep geometry: sampler, step grid, skip factor, lane grouping,
+    score-column flags, batch shape. Weights are NOT baked in — the model's
+    parameters are traced call-time inputs (sweep.py model_fn contract), so
+    one artifact serves any checkpoint of the same architecture, including
+    hot reloads (`POST /reload`). Precisely: the artifact bakes in the
+    COMPUTATION (the traced model/encode/decode code); the local program's
+    model_fn supplies only its bound weight pytree as call-time buffers. A
+    local model_fn whose *code* differs from the saving process's is
+    silently ignored in favor of the baked computation — ship the artifact
+    next to the run directory it was compiled from.
+
+The reference has no analogue (it re-JITs nothing: eager torch); this is the
+TPU-production counterpart of shipping a compiled binary next to the weights.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+FORMAT_VERSION = 1
+
+
+def _backend_fingerprint() -> Dict[str, Any]:
+    devs = jax.devices()
+    return {
+        "jax_version": jax.__version__,
+        "platform": jax.default_backend(),
+        "device_kind": devs[0].device_kind,
+        "n_devices": len(devs),
+    }
+
+
+def _program_fingerprint(program) -> Dict[str, Any]:
+    return {
+        "sampler": program.sampler,
+        "num_inference_steps": int(program.num_inference_steps),
+        "inference_skip_factor": int(program.inference_skip_factor),
+        "b_scale": float(program.b_scale),
+        "groups": [
+            (int(ts.shape[0]), int(starts.shape[0]))
+            for ts, starts in program._groups
+        ],
+        "score_elbo": bool(program.score_elbo),
+        "score_ssim": bool(program.score_ssim),
+        "score_error_maps": bool(program.score_error_maps),
+        "noise_mode": "host" if program.host_noise_fn is not None else "rng",
+    }
+
+
+def _example_arg(program, t_starts, batch: int):
+    """The per-group non-image argument, shaped exactly like __call__'s:
+    the (k, B, *latent) host-noise slice, or a split PRNG key."""
+    if program.host_noise_fn is not None:
+        if program.latent_sample_shape is None:
+            raise ValueError("host_noise_fn requires latent_sample_shape")
+        return jnp.zeros(
+            (len(t_starts), batch) + tuple(program.latent_sample_shape),
+            jnp.float32,
+        )
+    return jax.random.split(jax.random.PRNGKey(0))[0]
+
+
+def save_compiled(program, path, example_images) -> Dict[str, Any]:
+    """Compile (or reuse) every lane-group program for `example_images`'s
+    shape/sharding and write one artifact file. Returns the metadata dict.
+
+    `example_images` must be shaped (and, multi-device, sharded) exactly like
+    the batches `__call__` will receive — same contract as `warmup()`.
+    The save-side cost is the ordinary cold compile (amortized by the
+    persistent compile cache); the payoff is every later `load_compiled`.
+    """
+    from jax.experimental import serialize_executable
+
+    if program.sampler == "plms_ref":
+        raise ValueError(
+            "AOT artifacts are not supported for sampler='plms_ref' (the "
+            "bit-parity path is a single sequential program; use the "
+            "production samplers)"
+        )
+    example_images = jnp.asarray(example_images)
+    groups = []
+    for ts_desc, t_starts in program._groups:
+        arg = _example_arg(program, t_starts, int(example_images.shape[0]))
+        # a fresh lower().compile() rather than the jit wrapper: Compiled
+        # exposes the serializable executable, and the persistent cache (or a
+        # prior warmup this process) makes it cheap
+        compiled = program._build(ts_desc, t_starts).lower(
+            program.model_fn, program.encode_fn, program.decode_fn,
+            example_images, arg,
+        ).compile()
+        payload, _, out_tree = serialize_executable.serialize(compiled)
+        # the executable is pinned to specific devices (a single-device jit
+        # compiles for device 0; a GSPMD program for its mesh) — record them,
+        # or deserialize_and_load defaults to ALL client devices and execution
+        # fails with a shard-count mismatch on multi-device hosts
+        dev_ids = set()
+        for s in jax.tree_util.tree_leaves(compiled.input_shardings[0]):
+            dev_ids |= {d.id for d in s.device_set}
+        key = (
+            int(ts_desc.shape[0]),
+            int(t_starts.shape[0]),
+            tuple(int(s) for s in example_images.shape),
+        )
+        groups.append({
+            "key": key,
+            "n_out": int(out_tree.num_leaves),
+            "exec_device_ids": sorted(dev_ids),
+            "payload": payload,
+        })
+        # the Compiled is callable with __call__'s argument list (the
+        # multiprocess path stores the same), so saving doubles as warmup
+        program._compiled[key] = compiled
+    meta = {
+        "format": FORMAT_VERSION,
+        **_backend_fingerprint(),
+        "program": _program_fingerprint(program),
+        "batch_shape": tuple(int(s) for s in example_images.shape),
+        "image_dtype": str(example_images.dtype),
+    }
+    with open(path, "wb") as f:
+        pickle.dump({"meta": meta, "groups": groups}, f)
+    return meta
+
+
+def _check(cond: bool, what: str, want, got) -> None:
+    if not cond:
+        raise ValueError(
+            f"AOT artifact mismatch: {what} — artifact was saved with "
+            f"{want!r}, this process has {got!r}. Re-save the artifact on "
+            "this configuration (save_compiled / serve.py --aot_cache)."
+        )
+
+
+def load_compiled(program, path, example_images=None) -> Dict[str, Any]:
+    """Populate `program._compiled` from an artifact written by
+    `save_compiled`, skipping all tracing and compilation. Returns the
+    artifact metadata. Raises ValueError with the exact mismatch when the
+    artifact does not fit this process (backend, jax version, sweep
+    geometry) or this program (sampler/grid/score flags).
+
+    `example_images` (optional) additionally pins the expected batch shape up
+    front; otherwise shape errors surface on the first scoring call (the
+    deserialized executables check their input shapes themselves).
+    """
+    from jax.experimental import serialize_executable
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    meta, groups = blob["meta"], blob["groups"]
+
+    _check(meta["format"] == FORMAT_VERSION, "format", FORMAT_VERSION,
+           meta["format"])
+    fp = _backend_fingerprint()
+    for k, v in fp.items():
+        _check(meta[k] == v, k, meta[k], v)
+    want = meta["program"]
+    got = _program_fingerprint(program)
+    for k, v in got.items():
+        _check(want[k] == v, f"program.{k}", want[k], v)
+    if example_images is not None:
+        shape = tuple(int(s) for s in jnp.asarray(example_images).shape)
+        _check(meta["batch_shape"] == shape, "batch_shape",
+               meta["batch_shape"], shape)
+
+    batch = int(meta["batch_shape"][0])
+    by_id = {d.id: d for d in jax.devices()}
+    for (ts_desc, t_starts), entry in zip(program._groups, groups):
+        missing = [i for i in entry["exec_device_ids"] if i not in by_id]
+        _check(not missing, "exec_device_ids", entry["exec_device_ids"],
+               sorted(by_id))
+        arg = _example_arg(program, t_starts, batch)
+        # the executable only needs the flat buffer order; the treedefs are
+        # rebuilt from THIS process's model/encode/decode pytrees (they can't
+        # be pickled — Partials close over functions) and are consistent with
+        # every later __call__ by construction
+        dummy_images = jnp.zeros(meta["batch_shape"], jnp.float32)
+        _, in_tree = jax.tree_util.tree_flatten((
+            (program.model_fn, program.encode_fn, program.decode_fn,
+             dummy_images, arg),
+            {},
+        ))
+        out_tree = jax.tree_util.tree_structure((0,) * entry["n_out"])
+        program._compiled[tuple(entry["key"])] = (
+            serialize_executable.deserialize_and_load(
+                entry["payload"], in_tree, out_tree,
+                execution_devices=[by_id[i] for i in entry["exec_device_ids"]],
+            )
+        )
+    return meta
+
+
+def load_or_save(program, path, example_images) -> Dict[str, Any]:
+    """Serving helper: load the artifact if `path` exists, else compile and
+    save it. Returns the metadata plus {"action": "loaded"|"saved"}."""
+    import os
+
+    if os.path.exists(path):
+        meta = load_compiled(program, path, example_images)
+        return {**meta, "action": "loaded"}
+    meta = save_compiled(program, path, example_images)
+    return {**meta, "action": "saved"}

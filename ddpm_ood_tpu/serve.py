@@ -96,19 +96,11 @@ def build_recon_program(
     )
 
 
-def warmup_program(
-    program: ReconProgram, args, batch_size: int, shard_fn=None
-) -> float:
-    """Pre-compile every sweep group for the serving geometry (the images the
-    service will receive: `(batch, *spatial, C)` floats). Returns seconds
-    spent, or -1.0 when the geometry can't be derived from args (no
-    image_size/image_roi) — the first request then pays the compiles.
-    `shard_fn` must match the ScoringService's (GSPMD jit caches per input
-    sharding — warming with a different placement would compile twice).
-    Concurrent compilation is opt-in via DDPM_OOD_TPU_PARALLEL_COMPILE=1
-    (see ReconProgram.warmup)."""
-    import os
-
+def serving_example(args, batch_size: int, shard_fn=None):
+    """The example batch the serving geometry compiles for: `(batch,
+    *spatial, C)` float32 zeros (shape is all that matters), sharded like the
+    real requests when `shard_fn` is given. Returns None when the geometry
+    can't be derived from args (no image_size/image_roi)."""
     from .trainers.base import _as_tuple
 
     spatial = None
@@ -122,11 +114,29 @@ def warmup_program(
         # BaseTrainer does
         spatial = tuple(int(s) for s in _as_tuple(args.image_roi))
     if spatial is None:
-        return -1.0
+        return None
     channels = 1 if getattr(args, "is_grayscale", 0) else 3
     example = np.zeros((int(batch_size),) + spatial + (channels,), np.float32)
     if shard_fn is not None:
         example = shard_fn(example)
+    return example
+
+
+def warmup_program(
+    program: ReconProgram, args, batch_size: int, shard_fn=None
+) -> float:
+    """Pre-compile every sweep group for the serving geometry. Returns
+    seconds spent, or -1.0 when the geometry can't be derived from args (no
+    image_size/image_roi) — the first request then pays the compiles.
+    `shard_fn` must match the ScoringService's (GSPMD jit caches per input
+    sharding — warming with a different placement would compile twice).
+    Concurrent compilation is opt-in via DDPM_OOD_TPU_PARALLEL_COMPILE=1
+    (see ReconProgram.warmup)."""
+    import os
+
+    example = serving_example(args, batch_size, shard_fn)
+    if example is None:
+        return -1.0
     return program.warmup(
         example,
         parallel=os.environ.get("DDPM_OOD_TPU_PARALLEL_COMPILE", "") == "1",
@@ -621,6 +631,26 @@ def make_handler(service: ScoringService, auth_token: Optional[str] = None):
     return OODRequestHandler
 
 
+class _OODHTTPServer(ThreadingHTTPServer):
+    # the socketserver default accept backlog is 5: a burst of concurrent
+    # single-image clients (the dynamic-batching pattern,
+    # BatchingScoringService) overflows it and the overflowed clients see
+    # ConnectionResetError instead of queueing (observed at 32 concurrent
+    # connects, scripts/bench_serve.py --batch_window_ms). Deep listen
+    # backlog costs nothing; the sweep lock is the real throttle.
+    request_queue_size = 128
+
+
+def make_server(
+    service: ScoringService,
+    host: str = "0.0.0.0",
+    port: int = 8700,
+    auth_token: Optional[str] = None,
+) -> ThreadingHTTPServer:
+    """The serving HTTP server (burst-safe accept backlog), not yet running."""
+    return _OODHTTPServer((host, port), make_handler(service, auth_token))
+
+
 def serve_forever(
     service: ScoringService,
     host: str = "0.0.0.0",
@@ -636,7 +666,7 @@ def serve_forever(
     """
     import signal
 
-    server = ThreadingHTTPServer((host, port), make_handler(service, auth_token))
+    server = make_server(service, host, port, auth_token)
     print(f"serving OOD scores for {service.model_name} on {host}:{server.server_port}")
 
     def _graceful(signum, frame):

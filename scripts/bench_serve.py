@@ -20,7 +20,6 @@ import sys
 import threading
 import time
 import urllib.request
-from http.server import ThreadingHTTPServer
 
 import numpy as np
 
@@ -61,7 +60,7 @@ def main() -> None:
     from ddpm_ood_tpu.serve import (
         BatchingScoringService,
         ScoringService,
-        make_handler,
+        make_server,
     )
 
     on_tpu = jax.default_backend() == "tpu"
@@ -102,7 +101,7 @@ def main() -> None:
     if args.batch_window_ms > 0:
         service = BatchingScoringService(service, args.batch_window_ms)
 
-    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    server = make_server(service, "127.0.0.1", 0)
     port = server.server_port
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
@@ -153,6 +152,12 @@ def main() -> None:
             for t in threads:
                 t.join()
             wall = time.perf_counter() - t0
+            # a dropped/reset request would make the wall dishonestly fast —
+            # every client must have completed (server backlog is burst-safe,
+            # serve.py _OODHTTPServer)
+            failed = sum(1 for v in lat if v is None)
+            if failed:
+                raise RuntimeError(f"flood: {failed}/{batch} requests failed")
             return wall
         flood()  # warm the batched path
         wall = min(flood() for _ in range(3))

@@ -97,6 +97,14 @@ def parse_args(argv=None):
                    "endpoint except GET /healthz (default from "
                    "$DDPM_OOD_TPU_AUTH_TOKEN). The service binds 0.0.0.0 — "
                    "set this anywhere the network is not already trusted")
+    p.add_argument("--aot_cache", default=None,
+                   help="path to an AOT sweep artifact (recon/aot.py): if it "
+                   "exists, the compiled lane-group executables are LOADED "
+                   "(zero tracing, zero XLA compiles — restart at warm "
+                   "latency); otherwise this process compiles once and "
+                   "saves it. Pinned to this jax version + backend + sweep "
+                   "geometry; weights stay call-time inputs, so POST /reload "
+                   "keeps working")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--seed", type=int, default=None)
@@ -163,11 +171,31 @@ def main(argv=None) -> None:
               f"{service.z_thresholds}")
     # compile every sweep group BEFORE accepting requests so the first
     # request runs at warm latency (concurrent compiles opt-in — see helper)
-    from ddpm_ood_tpu.serve import warmup_program
+    from ddpm_ood_tpu.serve import serving_example, warmup_program
 
-    secs = warmup_program(program, args, args.batch_size, shard_fn=shard_fn)
-    if secs >= 0:
-        print(f"warm: compiled {len(program._compiled)} sweep groups in {secs:.1f}s")
+    aot_done = False
+    if args.aot_cache:
+        example = serving_example(args, args.batch_size, shard_fn)
+        if example is None:
+            print("aot_cache: serving geometry underivable from args "
+                  "(no image_size/image_roi) — falling back to plain warmup")
+        else:
+            import time as _time
+
+            from ddpm_ood_tpu.recon.aot import load_or_save
+
+            t0 = _time.perf_counter()
+            meta = load_or_save(program, args.aot_cache, example)
+            print(
+                f"aot: {meta['action']} {len(program._compiled)} compiled "
+                f"sweep groups in {_time.perf_counter() - t0:.1f}s "
+                f"({args.aot_cache})"
+            )
+            aot_done = True
+    if not aot_done:
+        secs = warmup_program(program, args, args.batch_size, shard_fn=shard_fn)
+        if secs >= 0:
+            print(f"warm: compiled {len(program._compiled)} sweep groups in {secs:.1f}s")
     if args.batch_window_ms > 0:
         from ddpm_ood_tpu.serve import BatchingScoringService
 

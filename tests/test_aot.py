@@ -1,0 +1,197 @@
+"""AOT sweep artifacts (recon/aot.py): a serving restart must load compiled
+lane-group executables with ZERO tracing/compiles and score identically.
+
+The artifact pins backend + jax version + sweep geometry (loud mismatch
+errors) but NOT the weights — params stay call-time inputs, so one artifact
+serves any checkpoint of the same architecture.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm_ood_tpu.diffusion.schedules import make_schedule
+from ddpm_ood_tpu.recon.aot import load_compiled, load_or_save, save_compiled
+from ddpm_ood_tpu.recon.sweep import ReconProgram
+
+SCHED = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0195)
+
+
+def _toy_model_fn(x, t):
+    return 0.1 * x + 0.01 * (t.astype(jnp.float32) / 1000.0).reshape(
+        (-1,) + (1,) * (x.ndim - 1)
+    )
+
+
+def _program(**over):
+    kw = dict(
+        sched=SCHED,
+        model_fn=jax.tree_util.Partial(_toy_model_fn),
+        num_inference_steps=10,
+        inference_skip_factor=3,
+        sampler="dpm",
+        num_groups=2,
+    )
+    kw.update(over)
+    return ReconProgram(**kw)
+
+
+def _images(seed=4, batch=2):
+    return jnp.asarray(
+        np.random.default_rng(seed).uniform(
+            size=(batch, 8, 8, 1)
+        ).astype(np.float32)
+    )
+
+
+def _forbid_build(prog):
+    def _boom(*a, **k):  # pragma: no cover - the assertion IS the test
+        raise AssertionError("ReconProgram._build called after AOT load")
+
+    prog._build = _boom
+
+
+def test_aot_roundtrip_scores_identical(tmp_path):
+    path = tmp_path / "sweep.aot"
+    images = _images()
+    prog1 = _program()
+    want = prog1(images, jax.random.PRNGKey(0))
+    meta = save_compiled(prog1, path, images)
+    assert meta["program"]["groups"] == [
+        (int(ts.shape[0]), int(starts.shape[0])) for ts, starts in prog1._groups
+    ]
+
+    prog2 = _program()
+    got_meta = load_compiled(prog2, path, images)
+    assert got_meta["batch_shape"] == tuple(images.shape)
+    _forbid_build(prog2)  # zero compiles from here on
+    got = prog2(images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
+    for w, g in zip(want[1:], got[1:]):
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(g), rtol=1e-6, atol=1e-7
+        )
+
+
+def _weighted_model(w, x, t):
+    # the production model_fn shape: Partial(apply, params) — params are
+    # pytree LEAVES (traced inputs), the function is static structure
+    return w * x + 0.01 * (t.astype(jnp.float32) / 1000.0).reshape(
+        (-1,) + (1,) * (x.ndim - 1)
+    )
+
+
+def test_aot_weights_stay_call_time_inputs(tmp_path):
+    """The artifact must serve DIFFERENT weights of the same architecture —
+    the hot-reload contract (serve.py POST /reload): weights are the
+    Partial's bound leaves, fed at call time, NOT baked into the binary."""
+    path = tmp_path / "sweep.aot"
+    images = _images(seed=9)
+    mf1 = jax.tree_util.Partial(_weighted_model, jnp.float32(0.1))
+    save_compiled(_program(model_fn=mf1), path, images)
+
+    mf2 = jax.tree_util.Partial(_weighted_model, jnp.float32(0.2))
+    prog = _program(model_fn=mf2)
+    load_compiled(prog, path, images)
+    _forbid_build(prog)
+    got = prog(images, jax.random.PRNGKey(1))
+    # and it matches a from-scratch compile with the NEW weights
+    want = _program(model_fn=jax.tree_util.Partial(
+        _weighted_model, jnp.float32(0.2)
+    ))(images, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(want[1]), np.asarray(got[1]), rtol=1e-6, atol=1e-7
+    )
+    # sanity: the new weights actually changed the scores
+    base = _program(model_fn=mf1)(images, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(base[1]), np.asarray(got[1]))
+
+
+def test_aot_extra_score_columns_roundtrip(tmp_path):
+    """n_out differs with score columns on — the out-tree reconstruction
+    must follow (ssim adds a 4th (K, B) array)."""
+    path = tmp_path / "sweep.aot"
+    images = _images(seed=11)
+    prog1 = _program(score_ssim=True)
+    want = prog1(images, jax.random.PRNGKey(2))
+    assert len(want) == 4
+    save_compiled(prog1, path, images)
+
+    prog2 = _program(score_ssim=True)
+    load_compiled(prog2, path, images)
+    _forbid_build(prog2)
+    got = prog2(images, jax.random.PRNGKey(2))
+    assert len(got) == 4
+    np.testing.assert_allclose(
+        np.asarray(want[3]), np.asarray(got[3]), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_aot_geometry_mismatch_raises(tmp_path):
+    path = tmp_path / "sweep.aot"
+    images = _images()
+    save_compiled(_program(), path, images)
+
+    with pytest.raises(ValueError, match="inference_skip_factor"):
+        load_compiled(_program(inference_skip_factor=2), path, images)
+    with pytest.raises(ValueError, match="sampler"):
+        load_compiled(_program(sampler="plms"), path, images)
+    with pytest.raises(ValueError, match="score_ssim"):
+        load_compiled(_program(score_ssim=True), path, images)
+    with pytest.raises(ValueError, match="batch_shape"):
+        load_compiled(_program(), path, _images(batch=4))
+
+
+def test_aot_plms_ref_rejected(tmp_path):
+    prog = _program(sampler="plms_ref")
+    with pytest.raises(ValueError, match="plms_ref"):
+        save_compiled(prog, tmp_path / "x.aot", _images())
+
+
+def test_aot_load_or_save(tmp_path):
+    path = tmp_path / "sweep.aot"
+    images = _images()
+    first = load_or_save(_program(), path, images)
+    assert first["action"] == "saved"
+    prog = _program()
+    second = load_or_save(prog, path, images)
+    assert second["action"] == "loaded"
+    _forbid_build(prog)
+    t_starts, mse, perc = prog(images, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(mse)).all()
+
+
+def test_bench_aot_script_quick_cpu():
+    """scripts/bench_aot.py --quick --backend cpu end-to-end: three child
+    processes (cold compile+save, warm-cache restart, AOT restart) each score
+    a batch; the AOT phase must load with zero compiles (the child installs a
+    compile-forbidding _build before scoring)."""
+    import importlib.util
+    import json as _json
+    import sys
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "scripts" / "bench_aot.py"
+    spec = importlib.util.spec_from_file_location("_bench_aot_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import io
+    from contextlib import redirect_stdout
+
+    old = sys.argv
+    sys.argv = ["bench_aot.py", "--quick", "--backend", "cpu"]
+    buf = io.StringIO()
+    try:
+        with redirect_stdout(buf):
+            mod.main()
+    finally:
+        sys.argv = old
+    out = buf.getvalue()
+    payload = _json.loads(out[out.index("{"):])
+    assert payload["bench"] == "aot_restart"
+    for phase in ("cold_compile_save", "warm_persistent_cache_restart",
+                  "aot_artifact_restart"):
+        assert payload[phase]["first_score_s"] > 0
+    assert payload["artifact_mb"] > 0

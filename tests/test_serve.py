@@ -677,3 +677,43 @@ def test_metricz_requires_auth_when_token_set(service):
             assert b"ddpm_ood_requests_total" in r.read()
     finally:
         server.shutdown()
+
+
+def test_connection_burst_all_succeed(service):
+    """A burst of concurrent single-image clients (the dynamic-batching usage
+    pattern) must ALL be served: the stdlib default accept backlog of 5 reset
+    overflowed connections (observed on chip at 32 concurrent clients) —
+    make_server deepens it (_OODHTTPServer.request_queue_size)."""
+    import io
+
+    from ddpm_ood_tpu.serve import make_server
+
+    server = make_server(service, "127.0.0.1", 0)
+    assert type(server).request_queue_size >= 64
+    port = server.server_port
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    n = 24
+    results = [None] * n
+
+    def one(i):
+        buf = io.BytesIO()
+        np.save(buf, np.random.default_rng(i).uniform(
+            size=(1, SIZE, SIZE, 1)).astype("float32"))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score", data=buf.getvalue()
+        )
+        with urllib.request.urlopen(req) as r:
+            results[i] = json.loads(r.read())
+
+    try:
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(
+            r is not None and len(r["scores"]) == 1 for r in results
+        ), f"{sum(r is None for r in results)}/{n} requests dropped"
+    finally:
+        server.shutdown()
+        server.server_close()
