@@ -349,6 +349,16 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
         "for 2D, 3 for 3D (scripts/autotune_sweep.py grids, DESIGN.md) — or "
         "pass an integer.",
     )
+    parser.add_argument(
+        "--aot_cache", default=None,
+        help="Framework extension: path PREFIX for AOT sweep artifacts "
+        "(recon/aot.py). Per (skip factor, batch) geometry, the compiled "
+        "lane-group executables are saved to <prefix>.skip<K>.b<B>.aot on "
+        "the first run and LOADED (zero tracing, zero XLA compiles) on "
+        "restarts. Pinned to jax version + backend + geometry; weights stay "
+        "call-time inputs. Single-process only (the multi-process path owns "
+        "its compile-then-barrier choreography).",
+    )
     args = parser.parse_args(argv)
     if args.eval_checkpoint and not args.ddpm_checkpoint_epoch:
         args.ddpm_checkpoint_epoch = args.eval_checkpoint

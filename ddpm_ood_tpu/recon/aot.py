@@ -24,6 +24,12 @@ Scope and pinning (checked at load, loud errors):
     silently ignored in favor of the baked computation — ship the artifact
     next to the run directory it was compiled from.
 
+Trust model: the artifact is a pickle (the serialized-executable container
+format) — loading one executes its pickle stream, exactly like torch.load on
+a .pth. Only load artifacts your own deployment wrote; they are cache files,
+not an interchange format. (Reference checkpoints get the restricted
+unpickler in utils/pth_reader.py; this file never loads third-party data.)
+
 The reference has no analogue (it re-JITs nothing: eager torch); this is the
 TPU-production counterpart of shipping a compiled binary next to the weights.
 """
@@ -136,8 +142,26 @@ def save_compiled(program, path, example_images) -> Dict[str, Any]:
         "batch_shape": tuple(int(s) for s in example_images.shape),
         "image_dtype": str(example_images.dtype),
     }
-    with open(path, "wb") as f:
-        pickle.dump({"meta": meta, "groups": groups}, f)
+    # atomic publish: concurrent restarts may save the same artifact; a
+    # reader must never see a half-written file
+    import os
+    import tempfile
+
+    path = os.fspath(path)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+        prefix=os.path.basename(path) + ".tmp.",
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump({"meta": meta, "groups": groups}, f)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return meta
 
 

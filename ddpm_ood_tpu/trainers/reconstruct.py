@@ -66,6 +66,42 @@ def _maybe_parallel_warmup(recon, program, loader) -> None:
     )
 
 
+def _maybe_aot(recon, program, loader, inference_skip_factor: int) -> None:
+    """--aot_cache: load the sweep's compiled lane-group executables from an
+    AOT artifact (zero tracing/compiles — recon/aot.py), or compile once and
+    save them. Artifact per (skip factor, batch) geometry under the prefix.
+    Skipped when something already compiled the program, under multi-process
+    (the compile-then-barrier path in __call__ owns that case), and for
+    duck-typed test loaders without a dataset."""
+    import os
+    import time
+
+    prefix = getattr(getattr(recon, "args", None), "aot_cache", None)
+    dataset = getattr(loader, "dataset", None)
+    if (
+        not prefix
+        or program._compiled
+        or program.sampler == "plms_ref"
+        or jax.process_count() > 1
+        or dataset is None
+        or len(dataset) == 0
+    ):
+        return
+    from ..recon.aot import load_or_save
+
+    item_shape = dataset[0]["image"].shape  # (C, *spatial)
+    b0 = min(int(loader.batch_size), len(dataset))
+    example = channels_last(np.zeros((b0,) + tuple(item_shape), dtype=np.float32))
+    path = f"{prefix}.skip{int(inference_skip_factor)}.b{b0}.aot"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    t0 = time.perf_counter()
+    meta = load_or_save(program, path, recon.shard(example))
+    info(
+        f"aot: {meta['action']} {len(program._compiled)} compiled sweep "
+        f"groups in {time.perf_counter() - t0:.1f}s ({path})"
+    )
+
+
 class Reconstruct(BaseTrainer):
     def __init__(self, args):
         # fail fast BEFORE device/model init: reconstruction without a trained
@@ -193,6 +229,7 @@ class Reconstruct(BaseTrainer):
         save_name = save_name or dataset_name
         info(f"{jax.process_index()}: {dataset_name}")
         program = self._program(inference_skip_factor)
+        _maybe_aot(self, program, loader, inference_skip_factor)
         _maybe_parallel_warmup(self, program, loader)
         rng = jax.random.PRNGKey(777 + jax.process_index())
         results: List[dict] = []

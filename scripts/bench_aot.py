@@ -55,8 +55,16 @@ model, size, batch = %(model)r, 32, %(batch)d
 steps, skip, groups = %(steps)d, %(skip)d, %(groups)d
 
 unet = make_unet(model, 2, 1, 1, dtype=dtype)
-params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1)),
-                   jnp.zeros((1,), jnp.int32))["params"]
+# init params on the host CPU backend: a serving restart reads them from a
+# checkpoint, so an on-TPU init compile (minutes through the tunnel) would
+# pollute every phase's setup time with a cost real restarts don't pay
+try:
+    _init_dev = jax.local_devices(backend="cpu")[0]
+except RuntimeError:
+    _init_dev = jax.devices()[0]
+with jax.default_device(_init_dev):
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1)),
+                       jnp.zeros((1,), jnp.int32))["params"]
 model_fn = jax.tree_util.Partial(
     lambda p_, x, t: unet.apply({"params": p_}, x, t), params)
 prog = ReconProgram(

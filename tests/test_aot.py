@@ -195,3 +195,42 @@ def test_bench_aot_script_quick_cpu():
                   "aot_artifact_restart"):
         assert payload[phase]["first_score_s"] > 0
     assert payload["artifact_mb"] > 0
+
+
+def test_reconstruct_maybe_aot_saves_then_loads(tmp_path):
+    """The reconstruct CLI wiring (--aot_cache, trainers/reconstruct.py
+    _maybe_aot): first run compiles+saves per (skip, batch) geometry, a
+    fresh process loads with zero compiles."""
+    import argparse
+
+    from ddpm_ood_tpu.trainers.reconstruct import _maybe_aot
+
+    prefix = str(tmp_path / "artifacts" / "sweep")
+
+    class FakeRecon:
+        args = argparse.Namespace(aot_cache=prefix)
+        shard = staticmethod(lambda x: x)
+
+    class FakeLoader:
+        dataset = [{"image": np.zeros((1, 8, 8), np.float32)}] * 4
+        batch_size = 2
+
+    prog1 = _program()
+    _maybe_aot(FakeRecon(), prog1, FakeLoader(), 3)
+    assert len(prog1._compiled) == len(prog1._groups)
+    import os
+    assert os.path.exists(f"{prefix}.skip3.b2.aot")
+
+    prog2 = _program()
+    _maybe_aot(FakeRecon(), prog2, FakeLoader(), 3)
+    _forbid_build(prog2)
+    t_starts, mse, perc = prog2(_images(batch=2), jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(mse)).all()
+
+    # no prefix -> no-op
+    class NoAot(FakeRecon):
+        args = argparse.Namespace(aot_cache=None)
+
+    prog3 = _program()
+    _maybe_aot(NoAot(), prog3, FakeLoader(), 3)
+    assert not prog3._compiled
