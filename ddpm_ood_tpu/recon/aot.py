@@ -56,6 +56,21 @@ def _backend_fingerprint() -> Dict[str, Any]:
 
 
 def _program_fingerprint(program) -> Dict[str, Any]:
+    """Everything BAKED into the traced group programs that the program
+    object itself can see. The artifact serves the saved computation
+    verbatim, so any of these differing at load time would silently serve
+    wrong numerics — they are all checked. What the program CANNOT see
+    (quantization mode, which is UNet construction; the exact model/encode/
+    decode code) is the caller's to pin via `extra_fingerprint`."""
+    import hashlib
+
+    import numpy as np
+
+    sched = program.sched
+    sched_hash = hashlib.sha256(
+        np.asarray(sched.betas, np.float64).tobytes()
+        + np.asarray(sched.alphas_cumprod, np.float64).tobytes()
+    ).hexdigest()[:16]
     return {
         "sampler": program.sampler,
         "num_inference_steps": int(program.num_inference_steps),
@@ -68,7 +83,23 @@ def _program_fingerprint(program) -> Dict[str, Any]:
         "score_elbo": bool(program.score_elbo),
         "score_ssim": bool(program.score_ssim),
         "score_error_maps": bool(program.score_error_maps),
-        "noise_mode": "host" if program.host_noise_fn is not None else "rng",
+        # covers beta family + range + T + SNR shift (all are schedule
+        # tables) and the prediction-type tag the samplers branch on
+        "sched_hash": sched_hash,
+        "num_train_timesteps": int(sched.num_train_timesteps),
+        "prediction_type": str(sched.prediction_type),
+        "latent_pad": (
+            None if not program.latent_pad else tuple(program.latent_pad)
+        ),
+        "pad_images_for_lpips": bool(program.pad_images_for_lpips),
+        "has_encode": program.encode_fn is not None,
+        "has_decode": program.decode_fn is not None,
+        "has_perceptual": program.perceptual_fn is not None,
+        "noise_mode": (
+            "host" if program.host_noise_fn is not None
+            else "device_simplex" if program.simplex_noise_fn is not None
+            else "gaussian"
+        ),
     }
 
 
@@ -85,7 +116,9 @@ def _example_arg(program, t_starts, batch: int):
     return jax.random.split(jax.random.PRNGKey(0))[0]
 
 
-def save_compiled(program, path, example_images) -> Dict[str, Any]:
+def save_compiled(
+    program, path, example_images, extra_fingerprint: Dict[str, Any] = None
+) -> Dict[str, Any]:
     """Compile (or reuse) every lane-group program for `example_images`'s
     shape/sharding and write one artifact file. Returns the metadata dict.
 
@@ -93,6 +126,12 @@ def save_compiled(program, path, example_images) -> Dict[str, Any]:
     the batches `__call__` will receive — same contract as `warmup()`.
     The save-side cost is the ordinary cold compile (amortized by the
     persistent compile cache); the payoff is every later `load_compiled`.
+
+    `extra_fingerprint`: caller-known facts baked into the computation that
+    the program object cannot see — above all the quantization mode (a
+    quantized and an f32 UNet share the same param pytree, so nothing else
+    distinguishes their artifacts). The CLIs pass {"quantize": ...}; loads
+    must present the same dict or fail loudly.
     """
     from jax.experimental import serialize_executable
 
@@ -139,6 +178,7 @@ def save_compiled(program, path, example_images) -> Dict[str, Any]:
         "format": FORMAT_VERSION,
         **_backend_fingerprint(),
         "program": _program_fingerprint(program),
+        "extra": dict(extra_fingerprint or {}),
         "batch_shape": tuple(int(s) for s in example_images.shape),
         "image_dtype": str(example_images.dtype),
     }
@@ -174,7 +214,10 @@ def _check(cond: bool, what: str, want, got) -> None:
         )
 
 
-def load_compiled(program, path, example_images=None) -> Dict[str, Any]:
+def load_compiled(
+    program, path, example_images=None,
+    extra_fingerprint: Dict[str, Any] = None,
+) -> Dict[str, Any]:
     """Populate `program._compiled` from an artifact written by
     `save_compiled`, skipping all tracing and compilation. Returns the
     artifact metadata. Raises ValueError with the exact mismatch when the
@@ -199,27 +242,30 @@ def load_compiled(program, path, example_images=None) -> Dict[str, Any]:
     want = meta["program"]
     got = _program_fingerprint(program)
     for k, v in got.items():
-        _check(want[k] == v, f"program.{k}", want[k], v)
+        _check(want.get(k) == v, f"program.{k}", want.get(k), v)
+    want_extra = meta.get("extra", {})
+    got_extra = dict(extra_fingerprint or {})
+    for k in sorted(set(want_extra) | set(got_extra)):
+        _check(want_extra.get(k) == got_extra.get(k), f"extra.{k}",
+               want_extra.get(k), got_extra.get(k))
     if example_images is not None:
         shape = tuple(int(s) for s in jnp.asarray(example_images).shape)
         _check(meta["batch_shape"] == shape, "batch_shape",
                meta["batch_shape"], shape)
 
-    batch = int(meta["batch_shape"][0])
     by_id = {d.id: d for d in jax.devices()}
     for (ts_desc, t_starts), entry in zip(program._groups, groups):
         missing = [i for i in entry["exec_device_ids"] if i not in by_id]
         _check(not missing, "exec_device_ids", entry["exec_device_ids"],
                sorted(by_id))
-        arg = _example_arg(program, t_starts, batch)
-        # the executable only needs the flat buffer order; the treedefs are
+        # the executable only needs the flat buffer ORDER; the treedefs are
         # rebuilt from THIS process's model/encode/decode pytrees (they can't
         # be pickled — Partials close over functions) and are consistent with
-        # every later __call__ by construction
-        dummy_images = jnp.zeros(meta["batch_shape"], jnp.float32)
+        # every later __call__ by construction. The images and rng-or-noise
+        # positions are single leaves, so plain 0 placeholders suffice — no
+        # device allocation on the zero-compile fast path
         _, in_tree = jax.tree_util.tree_flatten((
-            (program.model_fn, program.encode_fn, program.decode_fn,
-             dummy_images, arg),
+            (program.model_fn, program.encode_fn, program.decode_fn, 0, 0),
             {},
         ))
         out_tree = jax.tree_util.tree_structure((0,) * entry["n_out"])
@@ -232,13 +278,28 @@ def load_compiled(program, path, example_images=None) -> Dict[str, Any]:
     return meta
 
 
-def load_or_save(program, path, example_images) -> Dict[str, Any]:
-    """Serving helper: load the artifact if `path` exists, else compile and
-    save it. Returns the metadata plus {"action": "loaded"|"saved"}."""
+def load_or_save(
+    program, path, example_images, extra_fingerprint: Dict[str, Any] = None
+) -> Dict[str, Any]:
+    """Serving helper: load the artifact if `path` exists and fits, else
+    compile and (re)save it. Returns the metadata plus
+    {"action": "loaded"|"saved"|"resaved: <why>"}.
+
+    A mismatched artifact (sweep config changed, jax upgraded, different
+    quantize mode) is a STALE CACHE, not an error: it is recompiled and
+    overwritten, with the mismatch reported in the action string — a config
+    change must never crash-loop a restart."""
     import os
 
     if os.path.exists(path):
-        meta = load_compiled(program, path, example_images)
-        return {**meta, "action": "loaded"}
-    meta = save_compiled(program, path, example_images)
+        try:
+            meta = load_compiled(program, path, example_images,
+                                 extra_fingerprint)
+            return {**meta, "action": "loaded"}
+        except ValueError as e:
+            program._compiled.clear()  # drop any partially-loaded groups
+            meta = save_compiled(program, path, example_images,
+                                 extra_fingerprint)
+            return {**meta, "action": f"resaved: {e}"}
+    meta = save_compiled(program, path, example_images, extra_fingerprint)
     return {**meta, "action": "saved"}

@@ -37,29 +37,41 @@ def _stem(filename: str) -> str:
     return Path(filename).stem.replace(".nii", "").replace(".gz", "")
 
 
+def _loader_example(recon, program, loader):
+    """Shared precondition + example-batch derivation for the pre-loop
+    compile helpers (warmup / AOT): returns the sharded example batch shaped
+    exactly like the loop's batches, or None when pre-compiling does not
+    apply — the program is already compiled, the run is multi-process (the
+    compile-then-barrier path in __call__ owns that case), or the loader is
+    a duck-typed test stand-in without a dataset."""
+    dataset = getattr(loader, "dataset", None)
+    if (
+        program._compiled
+        or jax.process_count() > 1
+        or dataset is None
+        or len(dataset) == 0
+    ):
+        return None
+    item_shape = dataset[0]["image"].shape  # (C, *spatial)
+    b0 = min(int(loader.batch_size), len(dataset))
+    example = channels_last(np.zeros((b0,) + tuple(item_shape), dtype=np.float32))
+    return recon.shard(example)
+
+
 def _maybe_parallel_warmup(recon, program, loader) -> None:
     """Compile the sweep's lane-group programs concurrently before the batch
     loop (recon/sweep.py:ReconProgram.warmup). Opt-in via
     DDPM_OOD_TPU_PARALLEL_COMPILE=1 until the tunnel's remote-compile helper
     is proven thread-safe under concurrent compiles (it has returned HTTP 500
-    under load before — docs/DESIGN.md); never under multi-process (the
-    compile-then-barrier path in __call__ owns that case). Tolerates
-    duck-typed recon/loader stand-ins (list-of-batches loaders in tests)."""
+    under load before — docs/DESIGN.md)."""
     import os
 
-    dataset = getattr(loader, "dataset", None)
-    if (
-        os.environ.get("DDPM_OOD_TPU_PARALLEL_COMPILE", "") != "1"
-        or program._compiled
-        or jax.process_count() > 1
-        or dataset is None
-        or len(dataset) == 0
-    ):
+    if os.environ.get("DDPM_OOD_TPU_PARALLEL_COMPILE", "") != "1":
         return
-    item_shape = dataset[0]["image"].shape  # (C, *spatial)
-    b0 = min(int(loader.batch_size), len(dataset))
-    example = channels_last(np.zeros((b0,) + tuple(item_shape), dtype=np.float32))
-    secs = program.warmup(recon.shard(example))
+    example = _loader_example(recon, program, loader)
+    if example is None:
+        return
+    secs = program.warmup(example)
     info(
         f"parallel-compiled {len(program._compiled)} sweep group "
         f"programs in {secs:.1f}s"
@@ -69,35 +81,35 @@ def _maybe_parallel_warmup(recon, program, loader) -> None:
 def _maybe_aot(recon, program, loader, inference_skip_factor: int) -> None:
     """--aot_cache: load the sweep's compiled lane-group executables from an
     AOT artifact (zero tracing/compiles — recon/aot.py), or compile once and
-    save them. Artifact per (skip factor, batch) geometry under the prefix.
-    Skipped when something already compiled the program, under multi-process
-    (the compile-then-barrier path in __call__ owns that case), and for
-    duck-typed test loaders without a dataset."""
+    save them. One artifact per (sampler, steps, skip, batch) geometry under
+    the prefix; a stale artifact (changed config / jax upgrade) is
+    recompiled and overwritten, never fatal (aot.load_or_save)."""
     import os
     import time
 
-    prefix = getattr(getattr(recon, "args", None), "aot_cache", None)
-    dataset = getattr(loader, "dataset", None)
-    if (
-        not prefix
-        or program._compiled
-        or program.sampler == "plms_ref"
-        or jax.process_count() > 1
-        or dataset is None
-        or len(dataset) == 0
-    ):
+    args = getattr(recon, "args", None)
+    prefix = getattr(args, "aot_cache", None)
+    if not prefix or program.sampler == "plms_ref":
+        return
+    example = _loader_example(recon, program, loader)
+    if example is None:
         return
     from ..recon.aot import load_or_save
 
-    item_shape = dataset[0]["image"].shape  # (C, *spatial)
-    b0 = min(int(loader.batch_size), len(dataset))
-    example = channels_last(np.zeros((b0,) + tuple(item_shape), dtype=np.float32))
-    path = f"{prefix}.skip{int(inference_skip_factor)}.b{b0}.aot"
+    path = (
+        f"{prefix}.{program.sampler}{int(program.num_inference_steps)}"
+        f".skip{int(inference_skip_factor)}.b{int(example.shape[0])}.aot"
+    )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     t0 = time.perf_counter()
-    meta = load_or_save(program, path, recon.shard(example))
+    meta = load_or_save(
+        program, path, example,
+        # quantization is baked into the UNet's traced code but invisible to
+        # the program object — pin it or artifacts would cross modes silently
+        extra_fingerprint={"quantize": getattr(args, "quantize", "none")},
+    )
     info(
-        f"aot: {meta['action']} {len(program._compiled)} compiled sweep "
+        f"aot: {meta['action']} — {len(program._compiled)} compiled sweep "
         f"groups in {time.perf_counter() - t0:.1f}s ({path})"
     )
 

@@ -174,7 +174,13 @@ def main(argv=None) -> None:
     from ddpm_ood_tpu.serve import serving_example, warmup_program
 
     aot_done = False
-    if args.aot_cache:
+    if args.aot_cache and jax.process_count() > 1:
+        # the multi-process path owns its compile-then-barrier choreography
+        # (recon/sweep.py __call__); uncoordinated per-process save/load here
+        # would skew Gloo init past its ~30 s window
+        print("aot_cache: multi-process run — ignored (the compile-then-"
+              "barrier path in the sweep owns multi-process compiles)")
+    elif args.aot_cache:
         example = serving_example(args, args.batch_size, shard_fn)
         if example is None:
             print("aot_cache: serving geometry underivable from args "
@@ -185,9 +191,15 @@ def main(argv=None) -> None:
             from ddpm_ood_tpu.recon.aot import load_or_save
 
             t0 = _time.perf_counter()
-            meta = load_or_save(program, args.aot_cache, example)
+            meta = load_or_save(
+                program, args.aot_cache, example,
+                # baked into the UNet's traced code but invisible to the
+                # program object — must be pinned or an artifact saved
+                # without --quantize would silently serve f32 numerics
+                extra_fingerprint={"quantize": args.quantize},
+            )
             print(
-                f"aot: {meta['action']} {len(program._compiled)} compiled "
+                f"aot: {meta['action']} — {len(program._compiled)} compiled "
                 f"sweep groups in {_time.perf_counter() - t0:.1f}s "
                 f"({args.aot_cache})"
             )

@@ -219,7 +219,7 @@ def test_reconstruct_maybe_aot_saves_then_loads(tmp_path):
     _maybe_aot(FakeRecon(), prog1, FakeLoader(), 3)
     assert len(prog1._compiled) == len(prog1._groups)
     import os
-    assert os.path.exists(f"{prefix}.skip3.b2.aot")
+    assert os.path.exists(f"{prefix}.dpm10.skip3.b2.aot")
 
     prog2 = _program()
     _maybe_aot(FakeRecon(), prog2, FakeLoader(), 3)
@@ -234,3 +234,82 @@ def test_reconstruct_maybe_aot_saves_then_loads(tmp_path):
     prog3 = _program()
     _maybe_aot(NoAot(), prog3, FakeLoader(), 3)
     assert not prog3._compiled
+
+
+def test_aot_extra_fingerprint_pins_quantize(tmp_path):
+    """A quantized and an f32 UNet share one param pytree, so ONLY the
+    caller-passed extra fingerprint distinguishes their artifacts — crossing
+    modes must fail loudly (load_compiled) or recompile (load_or_save)."""
+    path = tmp_path / "sweep.aot"
+    images = _images()
+    save_compiled(_program(), path, images,
+                  extra_fingerprint={"quantize": "none"})
+
+    with pytest.raises(ValueError, match="extra.quantize"):
+        load_compiled(_program(), path, images,
+                      extra_fingerprint={"quantize": "int8"})
+
+    out = load_or_save(_program(), path, images,
+                       extra_fingerprint={"quantize": "int8"})
+    assert out["action"].startswith("resaved"), out["action"]
+    assert "quantize" in out["action"]
+    # the resaved artifact now loads under int8
+    prog = _program()
+    again = load_or_save(prog, path, images,
+                         extra_fingerprint={"quantize": "int8"})
+    assert again["action"] == "loaded"
+
+
+def test_aot_sched_change_is_pinned(tmp_path):
+    """A different beta range is baked into the traced programs — the
+    artifact must refuse to serve it (silent wrong numerics otherwise)."""
+    path = tmp_path / "sweep.aot"
+    images = _images()
+    save_compiled(_program(), path, images)
+    shifted = make_schedule("scaled_linear_beta", 1000, 0.0015, 0.0300)
+    with pytest.raises(ValueError, match="sched_hash"):
+        load_compiled(_program(sched=shifted), path, images)
+
+
+def test_aot_stale_artifact_recompiles_not_crashes(tmp_path):
+    """load_or_save treats any mismatched artifact as a stale cache: a
+    sampler/grid change recompiles and overwrites instead of crash-looping
+    the restart."""
+    path = tmp_path / "sweep.aot"
+    images = _images()
+    save_compiled(_program(sampler="dpm"), path, images)
+    out = load_or_save(_program(sampler="plms"), path, images)
+    assert out["action"].startswith("resaved"), out["action"]
+    prog = _program(sampler="plms")
+    assert load_or_save(prog, path, images)["action"] == "loaded"
+    _forbid_build(prog)
+    t_starts, mse, perc = prog(images, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(mse)).all()
+
+
+def test_maybe_parallel_warmup_uses_shared_example(monkeypatch):
+    """_maybe_parallel_warmup rides the same _loader_example derivation as
+    _maybe_aot (trainers/reconstruct.py) — opt-in via env, compiles every
+    group for the loader's batch geometry."""
+    import argparse
+
+    from ddpm_ood_tpu.trainers.reconstruct import _maybe_parallel_warmup
+
+    class FakeRecon:
+        args = argparse.Namespace()
+        shard = staticmethod(lambda x: x)
+
+    class FakeLoader:
+        dataset = [{"image": np.zeros((1, 8, 8), np.float32)}] * 4
+        batch_size = 2
+
+    monkeypatch.delenv("DDPM_OOD_TPU_PARALLEL_COMPILE", raising=False)
+    prog = _program()
+    _maybe_parallel_warmup(FakeRecon(), prog, FakeLoader())
+    assert not prog._compiled  # opt-in: no env, no compiles
+
+    monkeypatch.setenv("DDPM_OOD_TPU_PARALLEL_COMPILE", "1")
+    _maybe_parallel_warmup(FakeRecon(), prog, FakeLoader())
+    assert len(prog._compiled) == len(prog._groups)
+    t_starts, mse, perc = prog(_images(batch=2), jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(mse)).all()
