@@ -1,0 +1,186 @@
+"""scripts/serve.py main() end-to-end: train -> serve -> score over HTTP ->
+SIGTERM -> restart with --aot_cache loading the artifact.
+
+The serve CLI runs in a subprocess pinned to CPU (the demo.py pattern: the
+axon plugin ignores JAX_PLATFORMS, so the child pins via jax.config before
+first jax use). This is the only test that drives the serving MAIN — the
+service/handler internals are covered unit-level in test_serve.py.
+"""
+
+import io
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from ddpm_ood_tpu.data.csv_splits import write_split_csv
+from ddpm_ood_tpu.diffusion.plms import pndm_start_points, pndm_timesteps
+
+REPO = Path(__file__).resolve().parent.parent
+SIZE = 16
+STEPS, SKIP = 10, 3
+
+
+def _dataset(root: Path, name: str, n: int):
+    d = root / name
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(11)
+    paths = []
+    for i in range(n):
+        p = d / f"{name}_{i}.npy"
+        np.save(p, rng.uniform(size=(1, SIZE, SIZE)).astype(np.float32))
+        paths.append(str(p))
+    csv = root / f"{name}.csv"
+    write_split_csv(paths, str(csv))
+    return str(csv)
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """A 1-epoch tiny run + a validation-stats CSV at the serving grid."""
+    import argparse
+
+    from ddpm_ood_tpu.trainers import DDPMTrainer
+
+    root = tmp_path_factory.mktemp("serve_cli")
+    train_csv = _dataset(root, "train", 8)
+    val_csv = _dataset(root, "val", 4)
+    args = argparse.Namespace(
+        seed=2, output_dir=str(root / "output"), model_name="serve_cli_run",
+        training_ids=train_csv, validation_ids=val_csv, spatial_dimension=2,
+        image_size=SIZE, image_roi=None, latent_pad=None, vqvae_checkpoint=None,
+        prediction_type="epsilon", model_type="tiny",
+        beta_schedule="scaled_linear_beta", beta_start=0.0015, beta_end=0.0195,
+        b_scale=1.0, snr_shift=1, simplex_noise=0, batch_size=4, n_epochs=1,
+        eval_freq=10, augmentation=0, num_workers=2, cache_data=1,
+        checkpoint_every=1, ddpm_checkpoint_epoch=None, is_grayscale=1,
+        quick_test=0,
+    )
+    DDPMTrainer(args).train(args)
+    run_dir = Path(args.output_dir) / args.model_name
+
+    # hand-built validation stats at exactly the serving t_starts — the
+    # z-scorer only needs (filename, type, t, mse, perceptual_difference)
+    ts = pndm_timesteps(1000, STEPS)
+    t_starts = pndm_start_points(ts, SKIP)
+    rows = []
+    for t in (int(t) for t in t_starts):
+        for i in range(4):
+            rows.append({
+                "filename": f"v{i}", "type": "val", "t": t,
+                "mse": 0.1 + 0.01 * i, "perceptual_difference": 0.02 + 0.01 * i,
+            })
+    (run_dir / "ood").mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(run_dir / "ood" / "results_val.csv", index=False)
+    return root, args
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch_serve(root, args, port, extra=()):
+    argv = [
+        f"--output_dir={args.output_dir}", f"--model_name={args.model_name}",
+        "--model_type=tiny", "--is_grayscale=1", f"--image_size={SIZE}",
+        "--beta_schedule=scaled_linear_beta", "--beta_start=0.0015",
+        "--beta_end=0.0195", f"--num_inference_steps={STEPS}",
+        f"--inference_skip_factor={SKIP}", "--batch_size=2",
+        "--recon_groups=2", "--host=127.0.0.1", f"--port={port}",
+        *extra,
+    ]
+    code = (
+        f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import runpy\n"
+        f"sys.argv = ['scripts/serve.py'] + {argv!r}\n"
+        f"runpy.run_path({str(REPO / 'scripts' / 'serve.py')!r}, "
+        "run_name='__main__')\n"
+    )
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    lines = []
+
+    def pump():
+        for line in proc.stdout:
+            lines.append(line)
+
+    threading.Thread(target=pump, daemon=True).start()
+    return proc, lines
+
+
+def _wait_for(lines, proc, needle, timeout=420):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if any(needle in ln for ln in lines):
+            return
+        if proc.poll() is not None:
+            raise AssertionError(
+                f"serve exited rc={proc.returncode} before {needle!r}:\n"
+                + "".join(lines)
+            )
+        time.sleep(0.25)
+    raise AssertionError(f"timeout waiting for {needle!r}:\n" + "".join(lines))
+
+
+def _score_one(port) -> dict:
+    buf = io.BytesIO()
+    np.save(buf, np.random.default_rng(3).uniform(
+        size=(1, SIZE, SIZE, 1)).astype("float32"))
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/score", data=buf.getvalue()
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+def _stop(proc):
+    proc.send_signal(signal.SIGTERM)
+    assert proc.wait(timeout=120) == 0
+
+
+def test_serve_cli_end_to_end_with_aot_restart(trained_run, tmp_path):
+    root, args = trained_run
+    artifact = str(tmp_path / "sweep.aot")
+
+    # ---- first launch: compiles, saves the artifact, serves ----
+    port = _free_port()
+    proc, lines = _launch_serve(root, args, port,
+                                extra=(f"--aot_cache={artifact}",))
+    try:
+        _wait_for(lines, proc, "aot: saved")
+        _wait_for(lines, proc, "serving OOD scores")
+        payload = _score_one(port)
+        assert len(payload["scores"]) == 1
+        assert np.isfinite(payload["scores"][0]["z_score_mse"])
+    finally:
+        _stop(proc)
+    assert os.path.exists(artifact)
+
+    # ---- restart: loads the artifact (zero compiles), serves again ----
+    port = _free_port()
+    proc, lines = _launch_serve(root, args, port,
+                                extra=(f"--aot_cache={artifact}",))
+    try:
+        _wait_for(lines, proc, "aot: loaded")
+        _wait_for(lines, proc, "serving OOD scores")
+        payload = _score_one(port)
+        assert np.isfinite(payload["scores"][0]["z_score_mse"])
+    finally:
+        _stop(proc)
