@@ -65,6 +65,36 @@ class _LazyTensor:
         flat = self.storage.data
         if flat is None:
             raise ValueError(f"storage {self.storage.key} never loaded")
+        # Geometry is pickle-controlled: validate it BEFORE as_strided, which
+        # would otherwise happily read out of bounds (memory disclosure).
+        if len(self.size) != len(self.stride):
+            raise ValueError(
+                f"corrupt tensor geometry: size {self.size} vs stride "
+                f"{self.stride} rank mismatch"
+            )
+        if (
+            self.offset < 0
+            or any(int(n) < 0 for n in self.size)
+            or any(int(s) < 0 for s in self.stride)
+        ):
+            raise ValueError(
+                f"corrupt tensor geometry: negative offset/size/stride "
+                f"(offset={self.offset}, size={self.size}, "
+                f"stride={self.stride})"
+            )
+        numel = 1
+        for n in self.size:
+            numel *= int(n)
+        if numel > 0:
+            last = self.offset + sum(
+                (int(n) - 1) * int(s) for n, s in zip(self.size, self.stride)
+            )
+            if last >= flat.size:
+                raise ValueError(
+                    f"tensor view out of bounds: max element index {last} "
+                    f">= storage length {flat.size} "
+                    f"(storage {self.storage.key})"
+                )
         itemsize = flat.dtype.itemsize
         arr = np.lib.stride_tricks.as_strided(
             flat[self.offset:],
@@ -114,6 +144,28 @@ class _RestrictedUnpickler(pickle.Unpickler):
         )
 
 
+class _HeaderUnpickler(pickle.Unpickler):
+    """For the legacy-format framing pickles (magic number, protocol version,
+    sys_info dict, storage-key list): primitives only. Every global lookup
+    and every persistent id is blocked, so a hostile header cannot execute
+    code before the restricted payload unpickler takes over."""
+
+    def find_class(self, module: str, name: str):
+        raise pickle.UnpicklingError(
+            f"blocked global {module}.{name} in checkpoint framing header "
+            "(headers contain only primitives)"
+        )
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError(
+            "blocked persistent id in checkpoint framing header"
+        )
+
+
+def _read_header(f) -> Any:
+    return _HeaderUnpickler(f).load()
+
+
 def _map_tree(obj: Any) -> Any:
     """Materialize every _LazyTensor in a (dict/list/tuple) tree."""
     if isinstance(obj, _LazyTensor):
@@ -140,6 +192,12 @@ def _load_zip(path: str) -> Any:
             if key not in storages:
                 ref = _StorageRef(tag.dtype, key, numel)
                 raw = zf.read(f"{prefix}data/{key}")
+                if len(raw) != int(numel) * tag.dtype.itemsize:
+                    raise ValueError(
+                        f"corrupt storage {key}: blob is {len(raw)} bytes, "
+                        f"declared numel {numel} needs "
+                        f"{int(numel) * tag.dtype.itemsize}"
+                    )
                 ref.data = np.frombuffer(raw, dtype=tag.dtype)
                 storages[key] = ref
             return storages[key]
@@ -152,11 +210,11 @@ def _load_zip(path: str) -> Any:
 def _load_legacy(f: io.BufferedReader) -> Any:
     """The pre-1.6 stream: magic, protocol, sys_info, payload pickle, then the
     storage key list and each storage as <int64 numel><raw bytes>."""
-    magic = pickle.load(f)
+    magic = _read_header(f)
     if magic != 0x1950A86A20F9469CFC6C:
         raise ValueError("not a legacy torch checkpoint (bad magic)")
-    pickle.load(f)  # protocol_version
-    pickle.load(f)  # sys_info
+    _read_header(f)  # protocol_version
+    _read_header(f)  # sys_info
     storages: Dict[str, _StorageRef] = {}
 
     def persistent_load(pid):
@@ -174,10 +232,19 @@ def _load_legacy(f: io.BufferedReader) -> Any:
     up.persistent_load = persistent_load
     result = up.load()
 
-    keys = pickle.load(f)
+    keys = _read_header(f)
+    if not isinstance(keys, (list, tuple)) or not all(
+        isinstance(k, str) for k in keys
+    ):
+        raise ValueError("corrupt legacy checkpoint: storage key list")
     for key in keys:
         ref = storages[key]
         (numel,) = struct.unpack("<q", f.read(8))
+        if numel < 0 or (ref.numel is not None and numel != ref.numel):
+            raise ValueError(
+                f"corrupt storage {key}: stream numel {numel} != "
+                f"declared numel {ref.numel}"
+            )
         raw = f.read(numel * ref.dtype.itemsize)
         if len(raw) != numel * ref.dtype.itemsize:
             raise ValueError(f"truncated storage {key}")

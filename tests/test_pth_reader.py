@@ -89,3 +89,142 @@ def test_load_pth_real_unet_checkpoint_shape(tmp_path):
     got = load_pth(str(path))
     assert got["global_step"] == 4096
     _assert_matches_torch(got["model_state_dict"], sd)
+
+
+# ---------------------------------------------------------------------------
+# Hostile-checkpoint hardening (ADVICE r4): the legacy framing headers must go
+# through a globals-blocked unpickler, and pickle-controlled tensor geometry
+# must be bounds-checked before as_strided.
+# ---------------------------------------------------------------------------
+
+import io  # noqa: E402
+import struct  # noqa: E402
+
+
+class _EvilReduce:
+    """Pickles to a REDUCE that would create a sentinel file if executed."""
+
+    def __init__(self, sentinel):
+        self.sentinel = sentinel
+
+    def __reduce__(self):
+        return (open, (str(self.sentinel), "w"))
+
+
+def test_legacy_header_blocks_code_execution(tmp_path):
+    """A hostile magic-number header pickle must be rejected WITHOUT running
+    its payload (regression: pickle.load was previously unrestricted for the
+    magic/protocol/sys_info/key-list frames)."""
+    sentinel = tmp_path / "pwned"
+    path = tmp_path / "evil_legacy.pth"
+    buf = io.BytesIO()
+    pickle.dump(_EvilReduce(sentinel), buf, protocol=2)
+    path.write_bytes(buf.getvalue())
+    with pytest.raises(pickle.UnpicklingError, match="framing header"):
+        load_pth(str(path))
+    assert not sentinel.exists(), "hostile header pickle was EXECUTED"
+
+
+def test_legacy_key_list_blocks_code_execution(tmp_path):
+    """Same for the storage-key-list frame after the payload pickle."""
+    sd = {"w": torch.randn(2, 2)}
+    path = tmp_path / "tail_evil.pth"
+    torch.save(sd, path, _use_new_zipfile_serialization=False)
+    raw = path.read_bytes()
+    # the key list is the 5th pickle frame; locate it by replaying the first
+    # four frames with a permissive unpickler on the real file
+    f = io.BytesIO(raw)
+    for _ in range(3):
+        pickle.load(f)  # magic, protocol, sys_info
+
+    class _Permissive(pickle.Unpickler):
+        # we only need f.tell() after the payload frame — neuter everything
+        def persistent_load(self, pid):
+            return None
+
+        def find_class(self, module, name):
+            return lambda *a, **k: None
+
+    _Permissive(f).load()  # payload
+    keys_at = f.tell()
+    sentinel = tmp_path / "pwned2"
+    evil = io.BytesIO()
+    pickle.dump(_EvilReduce(sentinel), evil, protocol=2)
+    path.write_bytes(raw[:keys_at] + evil.getvalue())
+    with pytest.raises(pickle.UnpicklingError, match="framing header"):
+        load_pth(str(path))
+    assert not sentinel.exists(), "hostile key-list pickle was EXECUTED"
+
+
+def _craft_legacy(tmp_path, offset, size, stride, declared_numel=4,
+                  stream_numel=4, blob_elems=4):
+    """Hand-build a legacy checkpoint with attacker-controlled geometry."""
+    import collections
+
+    class _Stub:
+        pass
+
+    stub = _Stub()
+
+    class _Tensor:
+        def __reduce__(self):
+            return (
+                torch._utils._rebuild_tensor_v2,
+                (stub, offset, size, stride, False, collections.OrderedDict()),
+            )
+
+    class _W(pickle.Pickler):
+        def persistent_id(self, obj):
+            if obj is stub:
+                return ("storage", torch.FloatStorage, "0", "cpu",
+                        declared_numel)
+            return None
+
+    buf = io.BytesIO()
+    pickle.dump(0x1950A86A20F9469CFC6C, buf, protocol=2)
+    pickle.dump(1001, buf, protocol=2)
+    pickle.dump({"protocol_version": 1001, "little_endian": True,
+                 "type_sizes": {}}, buf, protocol=2)
+    _W(buf, protocol=2).dump({"w": _Tensor()})
+    pickle.dump(["0"], buf, protocol=2)
+    buf.write(struct.pack("<q", stream_numel))
+    buf.write(b"\x00" * (4 * blob_elems))
+    path = tmp_path / "crafted.pth"
+    path.write_bytes(buf.getvalue())
+    return str(path)
+
+
+def test_out_of_bounds_view_rejected(tmp_path):
+    """offset/size/stride pointing past the storage must raise, not read
+    out-of-bounds process memory via as_strided."""
+    path = _craft_legacy(tmp_path, offset=0, size=(1000,), stride=(1,))
+    with pytest.raises(ValueError, match="out of bounds"):
+        load_pth(path)
+    path = _craft_legacy(tmp_path, offset=3, size=(2,), stride=(1,))
+    with pytest.raises(ValueError, match="out of bounds"):
+        load_pth(path)
+
+
+def test_negative_geometry_rejected(tmp_path):
+    for bad in (
+        dict(offset=-1, size=(2,), stride=(1,)),
+        dict(offset=0, size=(-2,), stride=(1,)),
+        dict(offset=0, size=(2,), stride=(-1,)),
+    ):
+        path = _craft_legacy(tmp_path, **bad)
+        with pytest.raises(ValueError, match="negative"):
+            load_pth(path)
+
+
+def test_numel_mismatch_rejected(tmp_path):
+    path = _craft_legacy(tmp_path, offset=0, size=(4,), stride=(1,),
+                         declared_numel=4, stream_numel=999, blob_elems=999)
+    with pytest.raises(ValueError, match="corrupt storage"):
+        load_pth(path)
+
+
+def test_valid_crafted_geometry_still_loads(tmp_path):
+    """The bounds checks must not reject legitimate in-bounds views."""
+    path = _craft_legacy(tmp_path, offset=1, size=(3,), stride=(1,))
+    got = load_pth(path)
+    np.testing.assert_array_equal(got["w"], np.zeros(3, np.float32))
