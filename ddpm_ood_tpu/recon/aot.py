@@ -45,10 +45,32 @@ import jax.numpy as jnp
 FORMAT_VERSION = 1
 
 
+def artifact_path(prefix, sampler, num_inference_steps, skip, batch) -> str:
+    """The canonical on-disk name for one sweep geometry's artifact:
+    <prefix>.<sampler><steps>.skip<K>.b<B>.aot — the single source of truth
+    referenced by the --aot_cache help text and trainers/reconstruct.py."""
+    return (
+        f"{prefix}.{sampler}{int(num_inference_steps)}"
+        f".skip{int(skip)}.b{int(batch)}.aot"
+    )
+
+
+def _jaxlib_version() -> str:
+    # the serialized executable depends on the jaxlib/XLA runtime, not just
+    # the jax python package — pin both
+    try:
+        import jaxlib.version
+
+        return jaxlib.version.__version__
+    except Exception:  # pragma: no cover - ancient/absent jaxlib layouts
+        return "unknown"
+
+
 def _backend_fingerprint() -> Dict[str, Any]:
     devs = jax.devices()
     return {
         "jax_version": jax.__version__,
+        "jaxlib_version": _jaxlib_version(),
         "platform": jax.default_backend(),
         "device_kind": devs[0].device_kind,
         "n_devices": len(devs),
@@ -153,6 +175,14 @@ def save_compiled(
             example_images, arg,
         ).compile()
         payload, _, out_tree = serialize_executable.serialize(compiled)
+        # XLA executables compress well (~2-4x zlib); through the remote
+        # tunnel the restart cost is upload-bandwidth-bound on the artifact
+        # size (measured 541 MB raw for the 2D default — bench_aot.py), so
+        # shrink the payload at save time
+        import zlib
+
+        raw_len = len(payload)
+        payload = zlib.compress(payload, 3)
         # the executable is pinned to specific devices (a single-device jit
         # compiles for device 0; a GSPMD program for its mesh) — record them,
         # or deserialize_and_load defaults to ALL client devices and execution
@@ -169,6 +199,8 @@ def save_compiled(
             "key": key,
             "n_out": int(out_tree.num_leaves),
             "exec_device_ids": sorted(dev_ids),
+            "codec": "zlib",
+            "raw_len": raw_len,
             "payload": payload,
         })
         # the Compiled is callable with __call__'s argument list (the
@@ -238,7 +270,7 @@ def load_compiled(
            meta["format"])
     fp = _backend_fingerprint()
     for k, v in fp.items():
-        _check(meta[k] == v, k, meta[k], v)
+        _check(meta.get(k) == v, k, meta.get(k), v)
     want = meta["program"]
     got = _program_fingerprint(program)
     for k, v in got.items():
@@ -269,9 +301,14 @@ def load_compiled(
             {},
         ))
         out_tree = jax.tree_util.tree_structure((0,) * entry["n_out"])
+        payload = entry["payload"]
+        if entry.get("codec") == "zlib":  # pre-r5 artifacts stored raw bytes
+            import zlib
+
+            payload = zlib.decompress(payload)
         program._compiled[tuple(entry["key"])] = (
             serialize_executable.deserialize_and_load(
-                entry["payload"], in_tree, out_tree,
+                payload, in_tree, out_tree,
                 execution_devices=[by_id[i] for i in entry["exec_device_ids"]],
             )
         )
@@ -296,10 +333,15 @@ def load_or_save(
             meta = load_compiled(program, path, example_images,
                                  extra_fingerprint)
             return {**meta, "action": "loaded"}
-        except ValueError as e:
+        # Exception, not just ValueError: a truncated/corrupt artifact raises
+        # UnpicklingError/EOFError/KeyError, and deserialize_and_load can fail
+        # on runtime incompatibilities the fingerprint missed. All of those
+        # are stale caches here — recompile, never crash-loop the restart.
+        except Exception as e:
             program._compiled.clear()  # drop any partially-loaded groups
             meta = save_compiled(program, path, example_images,
                                  extra_fingerprint)
-            return {**meta, "action": f"resaved: {e}"}
+            return {**meta,
+                    "action": f"resaved: {type(e).__name__}: {e}"}
     meta = save_compiled(program, path, example_images, extra_fingerprint)
     return {**meta, "action": "saved"}

@@ -313,3 +313,80 @@ def test_maybe_parallel_warmup_uses_shared_example(monkeypatch):
     assert len(prog._compiled) == len(prog._groups)
     t_starts, mse, perc = prog(_images(batch=2), jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(mse)).all()
+
+
+def test_aot_corrupt_artifact_recompiles_not_crashes(tmp_path):
+    """A truncated/garbage artifact raises UnpicklingError/EOFError, not
+    ValueError — load_or_save must still treat it as a stale cache
+    (ADVICE r4: 'recompiled, never fatal' must hold for corrupt files too)."""
+    path = tmp_path / "sweep.aot"
+    images = _images()
+    path.write_bytes(b"\x80\x04 definitely not a pickle")
+    out = load_or_save(_program(), path, images)
+    assert out["action"].startswith("resaved"), out["action"]
+    # and the re-saved artifact is immediately loadable
+    prog = _program()
+    assert load_or_save(prog, path, images)["action"] == "loaded"
+
+    path.write_bytes(path.read_bytes()[: len(path.read_bytes()) // 2])
+    out = load_or_save(_program(), path, images)
+    assert out["action"].startswith("resaved"), out["action"]
+
+
+def test_aot_fingerprint_pins_jaxlib(tmp_path):
+    """The serialized executable depends on the jaxlib runtime — the
+    fingerprint must pin it (ADVICE r4 medium)."""
+    path = tmp_path / "sweep.aot"
+    meta = save_compiled(_program(), path, _images())
+    assert meta["jaxlib_version"] not in (None, "")
+    import pickle as _pkl
+
+    blob = _pkl.loads(path.read_bytes())
+    blob["meta"]["jaxlib_version"] = "0.0.0-stale"
+    path.write_bytes(_pkl.dumps(blob))
+    with pytest.raises(ValueError, match="jaxlib_version"):
+        load_compiled(_program(), path, _images())
+    # but through load_or_save it's just a stale cache
+    assert load_or_save(_program(), path, _images())["action"].startswith(
+        "resaved"
+    )
+
+
+def test_aot_artifact_path_is_canonical():
+    """artifact_path is the single source of truth for the on-disk name the
+    --aot_cache help documents (ADVICE r4 low)."""
+    from ddpm_ood_tpu.recon.aot import artifact_path
+
+    assert (
+        artifact_path("/runs/m", "dpm", 25, 1, 32)
+        == "/runs/m.dpm25.skip1.b32.aot"
+    )
+
+
+def test_aot_payloads_compressed_and_backcompat(tmp_path):
+    """Artifacts store zlib-compressed executables (tunnel restarts are
+    upload-bandwidth-bound on artifact size); pre-compression artifacts with
+    raw payloads still load."""
+    import pickle as _pkl
+    import zlib
+
+    path = tmp_path / "sweep.aot"
+    images = _images()
+    save_compiled(_program(), path, images)
+    blob = _pkl.loads(path.read_bytes())
+    for entry in blob["groups"]:
+        assert entry["codec"] == "zlib"
+        raw = zlib.decompress(entry["payload"])
+        assert len(raw) == entry["raw_len"]
+        assert len(entry["payload"]) < len(raw)
+
+    # rewrite as a legacy (uncompressed) artifact: must still load + score
+    for entry in blob["groups"]:
+        entry["payload"] = zlib.decompress(entry["payload"])
+        del entry["codec"], entry["raw_len"]
+    path.write_bytes(_pkl.dumps(blob))
+    prog = _program()
+    load_compiled(prog, path, images)
+    _forbid_build(prog)
+    t_starts, mse, perc = prog(images, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(mse)).all()
