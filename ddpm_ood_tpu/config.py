@@ -92,6 +92,15 @@ def parse_args_train_ddpm(argv=None) -> argparse.Namespace:
         "batch when activations exceed HBM (composable with --remat).",
     )
     parser.add_argument(
+        "--fsdp", type=int, default=0,
+        help="Shard UNet params + optimizer state (+ weight EMA) along the "
+        "data mesh axis (framework extension, parallel/fsdp.py): the ZeRO-3/"
+        "FSDP pattern — GSPMD inserts the all-gathers before use and "
+        "reduce-scatters after the backward from the input shardings alone. "
+        "Numerics match replicated DP (tests/test_fsdp.py); reclaims "
+        "per-chip static HBM on multi-device meshes.",
+    )
+    parser.add_argument(
         "--learning_rate", type=float, default=2.5e-5,
         help="Adam learning rate (the reference hardcodes 2.5e-5, "
         "base.py:156 — that stays the default).",
@@ -183,6 +192,13 @@ def parse_args_train_vqvae(argv=None) -> argparse.Namespace:
         "activation-light D step keeps the full batch. batch_size must be "
         "divisible by it. Composable with --remat for the production 3D "
         "pixel-space config.",
+    )
+    parser.add_argument(
+        "--fsdp", type=int, default=0,
+        help="Shard G and D params + optimizer state along the data mesh "
+        "axis (framework extension, parallel/fsdp.py; ZeRO-3 pattern via "
+        "GSPMD input shardings). Numerics match replicated DP; reclaims "
+        "per-chip static HBM — matters most for the 3D pixel-space G step.",
     )
     parser.add_argument("--batch_size", type=int, default=4, help="Training batch size.")
     parser.add_argument("--n_epochs", type=int, default=300, help="Number of epochs to train.")
@@ -352,12 +368,25 @@ def parse_args_reconstruct(argv=None) -> argparse.Namespace:
     parser.add_argument(
         "--aot_cache", default=None,
         help="Framework extension: path PREFIX for AOT sweep artifacts "
-        "(recon/aot.py). Per (skip factor, batch) geometry, the compiled "
-        "lane-group executables are saved to <prefix>.skip<K>.b<B>.aot on "
-        "the first run and LOADED (zero tracing, zero XLA compiles) on "
+        "(recon/aot.py). Per (sampler, steps, skip factor, batch) geometry, "
+        "the compiled lane-group executables are saved to "
+        "<prefix>.<sampler><steps>.skip<K>.b<B>.aot (recon/aot.py:"
+        "artifact_path) on the first run and LOADED (zero tracing, zero XLA "
+        "compiles) on "
         "restarts. Pinned to jax version + backend + geometry; weights stay "
         "call-time inputs. Single-process only (the multi-process path owns "
         "its compile-then-barrier choreography).",
+    )
+    parser.add_argument(
+        "--resume", type=int, default=0,
+        help="Framework extension: crash-safe dataset passes. Scored rows "
+        "are always flushed to a per-host partial CSV after every batch "
+        "(trainers/reconstruct.py:_CsvSink); with --resume=1 a restart "
+        "reloads that partial, skips images whose full t_start grid is "
+        "already persisted, and completes the pass without rescoring them. "
+        "The reference buffers the whole pass in memory and writes once at "
+        "the end (src/trainers/reconstruct.py:252-330), so a mid-run failure "
+        "there loses the entire pass.",
     )
     args = parser.parse_args(argv)
     if args.eval_checkpoint and not args.ddpm_checkpoint_epoch:

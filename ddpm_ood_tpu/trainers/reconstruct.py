@@ -17,9 +17,10 @@ scorer's dedup keeps compatibility with even_divisible padding).
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
-from typing import List, Optional
+from typing import List, Optional, Set
 
 import jax
 import numpy as np
@@ -35,6 +36,103 @@ from .base import BaseTrainer, channels_last
 
 def _stem(filename: str) -> str:
     return Path(filename).stem.replace(".nii", "").replace(".gz", "")
+
+
+class _CsvSink:
+    """Incremental, crash-safe persistence for reconstruction rows (framework
+    extension). The reference buffers a full dataset pass in memory and writes
+    the CSV once at the end (src/trainers/reconstruct.py:252-330) — a mid-run
+    failure there loses the whole pass, which for a 3D sweep is hours of chip
+    time. Here every scored batch is appended (flushed + fsynced) to a
+    per-host partial CSV, so a crash loses at most the in-flight batch;
+    `finalize()` publishes `results_{name}.csv` in the exact legacy format
+    (rank-0 shard merge under multihost) and removes the partial.
+
+    With `resume=True` a restart reloads the partial: images whose full
+    t_start grid is already persisted are skipped (`done()`), images caught
+    mid-write are rescored, and duplicates are dropped at finalize
+    (keep-last)."""
+
+    def __init__(self, out_dir, name: str, resume: bool = False):
+        self.out_dir, self.name = Path(out_dir), name
+        self.multi = jax.process_count() > 1
+        suffix = f".shard{jax.process_index()}" if self.multi else ""
+        self.partial = self.out_dir / f".results_{name}{suffix}.partial.csv"
+        self.rows: List[dict] = []
+        self._fh = None
+        self._cols: Optional[List[str]] = None
+        self._counts: dict = {}  # stem -> persisted row count
+        self.resumed_rows = 0
+        if resume and self.partial.exists():
+            try:
+                prev = pd.read_csv(self.partial)
+            except Exception:  # torn final line etc. — rescore from scratch
+                prev = pd.DataFrame()
+            if len(prev):
+                self.rows = prev.to_dict("records")
+                self._cols = list(prev.columns)
+                self._counts = prev["filename"].value_counts().to_dict()
+                self.resumed_rows = len(prev)
+        elif self.partial.exists():
+            self.partial.unlink()  # stale partial from a non-resume run
+
+    def done(self, filenames, k: int) -> Set[str]:
+        """The subset of `filenames` already persisted with all `k` t_start
+        rows by a previous (interrupted) run."""
+        return {
+            f for f in filenames if self._counts.get(_stem(f), 0) >= int(k)
+        }
+
+    def append(self, rows: List[dict]) -> None:
+        if not rows:
+            return
+        self.rows.extend(rows)
+        df = pd.DataFrame(rows)
+        if self._fh is None:
+            fresh = not (self.partial.exists() and self.partial.stat().st_size)
+            self._fh = open(self.partial, "a", newline="")
+            if self._cols is None:
+                self._cols = list(df.columns)
+            self._need_header = fresh
+        df = df.reindex(columns=self._cols)
+        df.to_csv(self._fh, header=self._need_header, index=False)
+        self._need_header = False
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+
+    def finalize(self) -> None:
+        """Publish results_{name}.csv (same on-disk format as the legacy
+        single-shot write) and clean up the partial."""
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+        df = pd.DataFrame(self.rows)
+        if len(df) and {"filename", "type", "t"} <= set(df.columns):
+            # resume may have rescored a partially-persisted image
+            df = df.drop_duplicates(["filename", "type", "t"], keep="last")
+            df = df.reset_index(drop=True)
+        if not self.multi:
+            df.to_csv(self.out_dir / f"results_{self.name}.csv")
+            if self.partial.exists():
+                self.partial.unlink()
+            return
+        shard = self.out_dir / f".results_{self.name}.shard{jax.process_index()}.csv"
+        df.to_csv(shard)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"recon_write_{self.name}")
+        if jax.process_index() == 0:
+            shards = sorted(
+                self.out_dir.glob(f".results_{self.name}.shard*.csv")
+            )
+            shards = [s for s in shards if not s.name.endswith(".partial.csv")]
+            merged = pd.concat(
+                [pd.read_csv(s, index_col=0) for s in shards],
+                ignore_index=True,
+            )
+            merged.to_csv(self.out_dir / f"results_{self.name}.csv")
+        if self.partial.exists():
+            self.partial.unlink()
 
 
 def _loader_example(recon, program, loader):
@@ -94,11 +192,11 @@ def _maybe_aot(recon, program, loader, inference_skip_factor: int) -> None:
     example = _loader_example(recon, program, loader)
     if example is None:
         return
-    from ..recon.aot import load_or_save
+    from ..recon.aot import artifact_path, load_or_save
 
-    path = (
-        f"{prefix}.{program.sampler}{int(program.num_inference_steps)}"
-        f".skip{int(inference_skip_factor)}.b{int(example.shape[0])}.aot"
+    path = artifact_path(
+        prefix, program.sampler, program.num_inference_steps,
+        inference_skip_factor, example.shape[0],
     )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     t0 = time.perf_counter()
@@ -235,9 +333,13 @@ class Reconstruct(BaseTrainer):
         )(keys, t_starts)
 
     def get_scores(self, loader, dataset_name: str, inference_skip_factor: int,
-                   save_name: Optional[str] = None) -> List[dict]:
+                   save_name: Optional[str] = None,
+                   sink: Optional[_CsvSink] = None) -> List[dict]:
         """`save_name` names per-dataset artifacts (error maps) when several
-        datasets share dataset_name='out'; defaults to dataset_name."""
+        datasets share dataset_name='out'; defaults to dataset_name.
+        `sink` (optional) receives every batch's rows as soon as they are
+        scored (crash-safe incremental persistence) and, when it carries
+        resumed rows, lets fully-persisted batches be skipped."""
         save_name = save_name or dataset_name
         info(f"{jax.process_index()}: {dataset_name}")
         program = self._program(inference_skip_factor)
@@ -245,10 +347,23 @@ class Reconstruct(BaseTrainer):
         _maybe_parallel_warmup(self, program, loader)
         rng = jax.random.PRNGKey(777 + jax.process_index())
         results: List[dict] = []
+        n_skipped = 0
         preview_saved = False
         compiled_b: Optional[int] = None
         profile_dir = getattr(getattr(self, "args", None), "profile_dir", None)
+        n_t_starts = len(program.t_starts)
+        # fault injection for the crash-safety contract (tests/test_recon_resume.py):
+        # SIGKILL the process after N batches have been scored AND flushed
+        crash_after = os.environ.get("DDPM_OOD_TPU_CRASH_AFTER_BATCHES")
         for batch_idx, batch in enumerate(loader):
+            if sink is not None and sink.resumed_rows:
+                # rng advances for SKIPPED batches too, so the non-skipped
+                # remainder scores with the same noise a crash-free run uses
+                done = sink.done(batch["filename"], n_t_starts)
+                if len(done) == len(batch["filename"]):
+                    rng, _ = jax.random.split(rng)
+                    n_skipped += len(done)
+                    continue
             # trace ONE warm batch (the second: batch 0 pays the compiles) —
             # the sweep-side counterpart of the trainer's --profile_dir hook
             profiling = bool(
@@ -313,6 +428,7 @@ class Reconstruct(BaseTrainer):
                     err_maps = err_maps[:b]
             if err_maps is not None:
                 self._save_error_maps(err_maps, batch["filename"], save_name)
+            batch_rows: List[dict] = []
             for k, t_start in enumerate(t_starts):
                 for b, filename in enumerate(batch["filename"]):
                     row = {
@@ -326,7 +442,15 @@ class Reconstruct(BaseTrainer):
                         row["elbo"] = float(elbo[k, b])
                     if ssim_d is not None:
                         row["ssim_distance"] = float(ssim_d[k, b])
-                    results.append(row)
+                    batch_rows.append(row)
+            results.extend(batch_rows)
+            if sink is not None:
+                sink.append(batch_rows)
+                if crash_after and (batch_idx + 1) >= int(crash_after):
+                    import signal
+
+                    info(f"fault injection: SIGKILL after batch {batch_idx}")
+                    os.kill(os.getpid(), signal.SIGKILL)
             t2 = time.time()
             info(
                 f"Took {t2 - t1:.2f}s for a batch size of {images.shape[0]} "
@@ -341,6 +465,11 @@ class Reconstruct(BaseTrainer):
                 )
                 self._save_preview(images, np.asarray(program.last_preview), tag)
                 preview_saved = True
+        if n_skipped:
+            info(
+                f"resume: skipped {n_skipped} already-scored images for "
+                f"'{dataset_name}' (rows persisted by the interrupted run)"
+            )
         return results
 
     def _save_error_maps(self, maps: np.ndarray, filenames, dataset_name: str
@@ -419,17 +548,27 @@ class Reconstruct(BaseTrainer):
             merged.to_csv(self.out_dir / f"results_{name}.csv")
 
     # ------------------------------------------------------------------- main --
+    def _run_scored(self, loader, dataset_name: str, csv_name: str,
+                    args, **kw) -> None:
+        """One dataset pass with crash-safe incremental persistence: rows
+        stream into a per-host partial CSV as each batch completes, and
+        `--resume=1` skips images already persisted by an interrupted run."""
+        sink = _CsvSink(self.out_dir, csv_name,
+                        resume=bool(getattr(args, "resume", 0)))
+        if sink.resumed_rows:
+            info(
+                f"resume: reloaded {sink.resumed_rows} rows for '{csv_name}' "
+                f"from {sink.partial.name}"
+            )
+        self.get_scores(loader, dataset_name, args.inference_skip_factor,
+                        sink=sink, **kw)
+        sink.finalize()
+
     def reconstruct(self, args) -> None:
         if bool(args.run_val):
-            self._write(
-                self.get_scores(self.val_loader, "val", args.inference_skip_factor),
-                "val",
-            )
+            self._run_scored(self.val_loader, "val", "val", args)
         if bool(args.run_in):
-            self._write(
-                self.get_scores(self.in_loader, "in", args.inference_skip_factor),
-                "in",
-            )
+            self._run_scored(self.in_loader, "in", "in", args)
         if bool(args.run_out):
             for out in args.out_ids.split(","):
                 info(out)
@@ -445,8 +584,5 @@ class Reconstruct(BaseTrainer):
                 else:
                     dataset_name = Path(out).stem.split("_")[0]
                 out_loader = self._make_loader(out, args.first_n, **flip_kw)
-                self._write(
-                    self.get_scores(out_loader, "out", args.inference_skip_factor,
-                                    save_name=dataset_name),
-                    dataset_name,
-                )
+                self._run_scored(out_loader, "out", dataset_name, args,
+                                 save_name=dataset_name)

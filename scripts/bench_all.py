@@ -72,6 +72,7 @@ def _jobs(full: bool):
                                "--batch", "8", "--groups", "3",
                                "--quantize", "int8"], 3600),
         ("plms_ref", [PY, "scripts/bench_plms_ref.py"], 2400),
+        ("simplex_scoring", [PY, "scripts/bench_simplex.py"], 2400),
         ("train_step", [PY, "scripts/train_bench.py"], 2400),
         ("serve_latency", [PY, "scripts/bench_serve.py"], 2400),
         ("native_loader", [PY, "scripts/bench_loader.py"], 1200),

@@ -169,3 +169,50 @@ def test_host_simplex_noise_is_the_exact_kernel():
     np.testing.assert_array_equal(got, want)
     assert got.dtype == np.float32 and np.isfinite(got).all()
     assert got.std() > 0
+
+
+def test_host_noise_overlap_is_draw_order_identical(sched):
+    """Double-buffered host noise (overlap_host_noise=True, VERDICT r4 #4):
+    the consumed draw sequence is bit-identical to the synchronous path — a
+    stateful generator sees the same call order, only one trailing unused
+    draw is added after the final batch."""
+    B, S = 2, 8
+
+    def make_gen():
+        state = {"n": 0}
+
+        def gen(shape, t_starts):
+            # stateful: draw i is a deterministic function of i alone
+            i = state["n"]
+            state["n"] += 1
+            return np.full(shape, float(i), dtype=np.float32) + (
+                np.random.default_rng(i).normal(size=shape).astype(np.float32)
+            )
+
+        return gen, state
+
+    def run(overlap):
+        gen, state = make_gen()
+        prog = ReconProgram(
+            sched=sched, model_fn=_model_partial(), num_inference_steps=10,
+            inference_skip_factor=3, num_groups=2,
+            host_noise_fn=gen, latent_sample_shape=(S, S, 1),
+            overlap_host_noise=overlap,
+        )
+        images = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(B, S, S, 1)).astype(np.float32)
+        )
+        out = []
+        for b in range(3):  # three "batches"
+            _, mse, _ = prog(images, jax.random.PRNGKey(b))
+            out.append(np.asarray(mse))
+        if overlap and prog._pending_noise is not None:
+            prog._pending_noise[1].result()  # settle the trailing draw
+        return out, state["n"]
+
+    sync_out, sync_calls = run(overlap=False)
+    ov_out, ov_calls = run(overlap=True)
+    for a, b in zip(sync_out, ov_out):
+        np.testing.assert_array_equal(a, b)
+    assert sync_calls == 3
+    assert ov_calls == 4  # exactly one trailing prefetch, never consumed
