@@ -48,9 +48,29 @@ def fsdp_shardings(mesh: Mesh, tree, min_size: int = DEFAULT_MIN_SIZE):
 
 
 def apply_fsdp(mesh: Mesh, state, min_size: int = DEFAULT_MIN_SIZE):
-    """Shard a flax TrainState's params + opt_state; step code is unchanged."""
+    """Shard a TrainState's params + opt_state (+ the weight-EMA slot when the
+    state carries one); step code is unchanged — GSPMD re-specializes the same
+    jitted program to the new input shardings."""
     params = jax.device_put(state.params, fsdp_shardings(mesh, state.params, min_size))
     opt_state = jax.device_put(
         state.opt_state, fsdp_shardings(mesh, state.opt_state, min_size)
     )
-    return state.replace(params=params, opt_state=opt_state)
+    state = state.replace(params=params, opt_state=opt_state)
+    ema = getattr(state, "ema_params", None)
+    if ema is not None:
+        state = state.replace(
+            ema_params=jax.device_put(ema, fsdp_shardings(mesh, ema, min_size))
+        )
+    return state
+
+
+def sharded_bytes_per_device(tree) -> int:
+    """Static HBM the tree occupies on ONE device given its current shardings
+    (for the --fsdp reduction measurement in scripts/bench_fsdp_hbm.py)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if not hasattr(leaf, "sharding"):
+            continue
+        shard_shape = leaf.sharding.shard_shape(leaf.shape)
+        total += int(np.prod(shard_shape)) * leaf.dtype.itemsize
+    return total

@@ -229,6 +229,29 @@ class BaseTrainer:
             self.global_step = 0
             self.best_loss = 1000.0
 
+        # -- FSDP (framework extension; SURVEY §2.3 mesh-axis note) -----------------
+        # applied AFTER resume so restored host params get the sharded layout;
+        # the jitted step is unchanged — GSPMD inserts the all-gathers/
+        # reduce-scatters (ZeRO-3 pattern) from the input shardings alone
+        self.fsdp = bool(getattr(args, "fsdp", 0))
+        if self.fsdp:
+            import os
+
+            from ..parallel.fsdp import (
+                DEFAULT_MIN_SIZE, apply_fsdp, sharded_bytes_per_device,
+            )
+
+            min_size = int(
+                os.environ.get("DDPM_OOD_TPU_FSDP_MIN_SIZE", DEFAULT_MIN_SIZE)
+            )
+            self.state = apply_fsdp(self.mesh, self.state, min_size=min_size)
+            info(
+                "FSDP: params + optimizer state sharded "
+                f"{self.mesh.shape[pmesh.DATA_AXIS]}-way along the data axis "
+                f"({sharded_bytes_per_device(self.state.params) / 2**20:.1f} "
+                "MiB params/device)"
+            )
+
         self.quick_test = bool(getattr(args, "quick_test", 0))
 
     def reload_params(self, epoch: Optional[int] = None):
@@ -270,6 +293,10 @@ class BaseTrainer:
             else payload["model_state_dict"]
         )
         self.state = self.state.replace(params=new_params)
+        if getattr(self, "fsdp", False):
+            from ..parallel.fsdp import apply_fsdp
+
+            self.state = apply_fsdp(self.mesh, self.state)
         self.start_epoch = int(payload["epoch"])
         info(f"Hot-reloaded weights from {path} (epoch {self.start_epoch})")
         return path

@@ -201,6 +201,29 @@ class VQVAETrainer:
             self.global_step = 0
             self.best_loss = 1000.0
 
+        # -- FSDP (framework extension): shard G and D params + opt state ----------
+        # after resume, same rationale as BaseTrainer; matters most for the 3D
+        # VQVAE G step, whose no-remat static HBM peaks at 15.4 GiB (BASELINE.md)
+        self.fsdp = bool(getattr(args, "fsdp", 0))
+        if self.fsdp:
+            import os
+
+            from ..parallel.fsdp import (
+                DEFAULT_MIN_SIZE, apply_fsdp, sharded_bytes_per_device,
+            )
+
+            min_size = int(
+                os.environ.get("DDPM_OOD_TPU_FSDP_MIN_SIZE", DEFAULT_MIN_SIZE)
+            )
+            self.g_state = apply_fsdp(self.mesh, self.g_state, min_size=min_size)
+            self.d_state = apply_fsdp(self.mesh, self.d_state, min_size=min_size)
+            info(
+                "FSDP: G/D params + optimizer state sharded "
+                f"{self.mesh.shape[pmesh.DATA_AXIS]}-way along the data axis "
+                f"({sharded_bytes_per_device(self.g_state.params) / 2**20:.1f} "
+                "MiB G params/device)"
+            )
+
     def _sample_shape(self):
         size = self.image_size or 32
         spatial = (size,) * self.spatial_dimension

