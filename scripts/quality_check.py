@@ -152,7 +152,11 @@ def main() -> None:
 
     if args.pinned:
         # the pinned regression config: every knob fixed so round-over-round
-        # files are directly diffable and a >CI-width drop is a red flag
+        # files are directly diffable and a real drop is a red flag.
+        # n_eval=512 (r5, was 64): DeLong half-width scales ~1/sqrt(n) — 64
+        # images gave +-2.7 pts, far wider than the 0.5-pt parity bar; 512
+        # brings the half-width to ~1 pt so the gate can catch a 2-pt drop
+        # (VERDICT r4 #1). batch 32 keeps wall-clock flat on chip.
         args.epochs, args.size, args.n_train = 80, 16, 32
         args.steps, args.skip = 100, 4
         args.samplers = "plms,dpm@25/1,ddim@25/1"
@@ -160,7 +164,7 @@ def main() -> None:
         args.ema_decay = 0.0
         args.quantize = "none"
         args.elbo = args.ssim = False
-        args.near_freq, args.n_eval = 3.0, 64
+        args.near_freq, args.n_eval = 3.0, 512
 
     from ddpm_ood_tpu.trainers import DDPMTrainer, Reconstruct
 
@@ -179,7 +183,8 @@ def main() -> None:
         image_size=args.size, image_roi=None, latent_pad=None, vqvae_checkpoint=None,
         prediction_type="epsilon", model_type="tiny",
         beta_schedule="scaled_linear_beta", beta_start=0.0015, beta_end=0.0195,
-        b_scale=1.0, snr_shift=1, simplex_noise=int(args.simplex), batch_size=8,
+        b_scale=1.0, snr_shift=1, simplex_noise=int(args.simplex),
+        batch_size=32 if args.pinned else 8,
         n_epochs=args.epochs, eval_freq=10**9, augmentation=0, num_workers=2,
         cache_data=1, checkpoint_every=10**9, ddpm_checkpoint_epoch=None,
         is_grayscale=1, quick_test=0, profile_dir=None,
@@ -269,26 +274,46 @@ def main() -> None:
         print(f"wrote {args.out}")
     if args.compare_to:
         prev = json.loads(Path(args.compare_to).read_text())
-        regressions = []
-        for label, entry in per_sampler.items():
-            prev_entry = prev.get("per_sampler", {}).get(label)
-            if prev_entry is None:
-                continue
-            for task in ("easy", "hard"):
-                cur, old = entry[task], prev_entry[task]
-                ci_width = cur["auroc_ci"][1] - cur["auroc_ci"][0]
-                drop = old["auroc"] - cur["auroc"]
-                line = (
-                    f"{label}/{task}: {old['auroc']:.4f} -> {cur['auroc']:.4f} "
-                    f"(drop {drop:+.4f}, CI width {ci_width:.4f})"
-                )
-                if drop > ci_width:
-                    regressions.append(line)
-                    print(f"REGRESSION {line}")
-                else:
-                    print(f"ok         {line}")
+        lines, regressions = compare_quality(prev, per_sampler)
+        for line in lines:
+            print(line)
         if regressions:
             sys.exit(1)
+
+
+def compare_quality(prev: dict, per_sampler: dict):
+    """Regression rule (tightened r5, VERDICT r4 #1): a drop is flagged when
+    it exceeds the COMBINED standard uncertainty of the two estimates —
+    hypot(cur_half_width, old_half_width) — rather than the full current CI
+    width. At the pinned n_eval=512 both half-widths are ~1 pt, so the
+    threshold lands ~1.4 pts and a 2-pt real drop trips the gate (the old
+    full-width rule at n_eval=64 let ~5-pt drops through). Returns
+    (printable lines, regression lines); unit-tested with injected drops in
+    tests/test_quality_gate.py."""
+    import math
+
+    lines, regressions = [], []
+    for label, entry in per_sampler.items():
+        prev_entry = prev.get("per_sampler", {}).get(label)
+        if prev_entry is None:
+            continue
+        for task in ("easy", "hard"):
+            cur, old = entry[task], prev_entry[task]
+            cur_half = (cur["auroc_ci"][1] - cur["auroc_ci"][0]) / 2
+            old_ci = old.get("auroc_ci")
+            old_half = (old_ci[1] - old_ci[0]) / 2 if old_ci else cur_half
+            threshold = max(1e-4, math.hypot(cur_half, old_half))
+            drop = old["auroc"] - cur["auroc"]
+            line = (
+                f"{label}/{task}: {old['auroc']:.4f} -> {cur['auroc']:.4f} "
+                f"(drop {drop:+.4f}, threshold {threshold:.4f})"
+            )
+            if drop > threshold:
+                regressions.append(line)
+                lines.append(f"REGRESSION {line}")
+            else:
+                lines.append(f"ok         {line}")
+    return lines, regressions
 
 
 if __name__ == "__main__":
