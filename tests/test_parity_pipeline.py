@@ -63,6 +63,47 @@ def _cifar_tarball(path: Path, rng: np.random.Generator) -> None:
             tf.addfile(info, io.BytesIO(blob))
 
 
+def _color_checker(i: int, size: int = 32, block: int = 8) -> np.ndarray:
+    """(size, size, 3) uint8 checkerboard; block size survives the 32->16
+    bilinear resize in the scoring transform chain."""
+    plane = ((np.indices((size, size)).sum(0) // block + i) % 2) * 255
+    return np.stack([plane] * 3, axis=-1).astype(np.uint8)
+
+
+def _svhn_mat(path: Path, images_hw3n: np.ndarray) -> None:
+    """The cropped-digits .mat layout prep_svhn reads: X (32,32,3,N) uint8."""
+    from scipy.io import savemat
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n = images_hw3n.shape[-1]
+    savemat(str(path), {
+        "X": images_hw3n,
+        "y": np.ones((n, 1), dtype=np.uint8),
+    })
+
+
+def _celeba_raw(raw: Path, n_train: int, n_valid: int, n_test: int) -> None:
+    """img_align_celeba JPEG folder + list_eval_partition.txt, the exact
+    layout prep_celeba reads (reference get_computer_vision_datasets.py:84)."""
+    from PIL import Image
+
+    img_dir = raw / "img_align_celeba"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    lines = []
+    idx = 0
+    for part, count in ((0, n_train), (1, n_valid), (2, n_test)):
+        for _ in range(count):
+            fname = f"{idx + 1:06d}.jpg"
+            # 64px block-16 checkerboard -> block 8 after CelebA's 32x32
+            # resize -> block 4 after the scoring chain's 16x16 resize
+            Image.fromarray(_color_checker(idx, size=64, block=16)).save(
+                img_dir / fname, quality=95
+            )
+            lines.append(f"{fname} {part}")
+            idx += 1
+    (raw / "list_eval_partition.txt").write_text("\n".join(lines) + "\n")
+
+
 @pytest.fixture(scope="module")
 def prepped_data_root(tmp_path_factory):
     """Craft raw archives and run the real prep CLI offline."""
@@ -83,10 +124,20 @@ def prepped_data_root(tmp_path_factory):
     _idx_gz(root / "MNIST" / "raw" / "t10k-images-idx3-ubyte.gz",
             np.stack([_checker(100 + i) for i in range(8)]))
     _cifar_tarball(root / "CIFAR10" / "raw" / "cifar-10-python.tar.gz", rng)
+    # SVHN (.mat) and CelebA (jpeg folder + partition) also hold checkerboard
+    # OOD content so the single integration test covers all five parsers
+    _svhn_mat(
+        root / "SVHN" / "raw" / "train_32x32.mat",
+        np.stack([_color_checker(i) for i in range(4)], axis=-1),  # (32,32,3,N)
+    )
+    _svhn_mat(
+        root / "SVHN" / "raw" / "test_32x32.mat",
+        np.stack([_color_checker(100 + i) for i in range(8)], axis=-1),
+    )
+    _celeba_raw(root / "CelebA" / "raw", n_train=4, n_valid=2, n_test=8)
 
     # prove the prep CLI never needs egress when archives are pre-placed:
-    # any attempted download is a hard failure for the present archives, and
-    # a graceful skip for the absent ones (SVHN/CelebA)
+    # any attempted download is a hard failure for the present archives
     real_retrieve = urllib.request.urlretrieve
 
     def _no_egress(url, dest):
@@ -104,7 +155,8 @@ def test_prep_output_contract(prepped_data_root):
     root = prepped_data_root
     splits = root / "data_splits"
     for name in ("FashionMNIST_train", "FashionMNIST_val", "FashionMNIST_test",
-                 "MNIST_test", "CIFAR10_train", "CIFAR10_test"):
+                 "MNIST_test", "CIFAR10_train", "CIFAR10_test",
+                 "SVHN_train", "SVHN_test", "CelebA_train", "CelebA_test"):
         csv = splits / f"{name}.csv"
         assert csv.exists(), csv
         text = csv.read_text().strip()
@@ -120,6 +172,16 @@ def test_prep_output_contract(prepped_data_root):
     np.testing.assert_array_equal(arr, _sine(5))
     cif = np.load(root / "CIFAR10" / "numpy" / "test" / "CIFAR10_0.npy")
     assert cif.shape == (3, 32, 32) and cif.dtype == np.uint8
+    # SVHN: (32,32,3,N) .mat -> channel-first, pixel-exact
+    svhn = np.load(root / "SVHN" / "numpy" / "test" / "SVHN_0.npy")
+    assert svhn.shape == (3, 32, 32) and svhn.dtype == np.uint8
+    np.testing.assert_array_equal(
+        svhn, _color_checker(100).transpose(2, 0, 1)
+    )
+    # CelebA: jpeg -> 32x32 channel-first (lossy codec: structural check only)
+    cel = np.load(root / "CelebA" / "numpy" / "test" / "CelebA_0.npy")
+    assert cel.shape == (3, 32, 32) and cel.dtype == np.uint8
+    assert cel.std() > 40, "checkerboard structure lost in CelebA prep"
 
 
 def test_archives_to_auroc(prepped_data_root, tmp_path_factory):
@@ -154,13 +216,15 @@ def test_archives_to_auroc(prepped_data_root, tmp_path_factory):
 
     rargs = parse_args_reconstruct(common + [
         f"--in_ids={splits}/FashionMNIST_test.csv",
-        f"--out_ids={splits}/MNIST_test.csv,"
+        f"--out_ids={splits}/MNIST_test.csv,{splits}/SVHN_test.csv,"
+        f"{splits}/CelebA_test.csv,"
         f"{splits}/FashionMNIST_test.csv_vflip,{splits}/FashionMNIST_test.csv_hflip",
         "--num_inference_steps=10", "--inference_skip_factor=3",
     ])
     Reconstruct(rargs).reconstruct(rargs)
     ood_dir = run_dir / "ood"
-    for name in ("val", "in", "MNIST", "FashionMNIST_vflip", "FashionMNIST_hflip"):
+    for name in ("val", "in", "MNIST", "SVHN", "CelebA",
+                 "FashionMNIST_vflip", "FashionMNIST_hflip"):
         assert (ood_dir / f"results_{name}.csv").exists()
 
     oargs = parse_args_ood_detection([
