@@ -176,6 +176,48 @@ def main() -> None:
     seq_time_full = seq_time_subset * (K / len(subset))
     seq_recons_per_sec = K * BATCH / seq_time_full
 
+    # ---- product fast path: dpm@25/1 + int8 (BASELINE.md fastest config) --------
+    # regression-tracked alongside the reference-parity headline (VERDICT r4
+    # #8): the recommended serving configuration is DPM-Solver++(2M) at 25
+    # steps / skip 1 with int8 PTQ convs — ~3.9x the PLMS headline on chip.
+    from ddpm_ood_tpu.recon.sweep import ReconProgram
+
+    fp_steps = 10 if QUICK else 25
+    unet_q = make_unet(MODEL, 2, 1, 1, dtype=dtype, quant="int8")
+    # the quantized UNet shares the f32 param pytree (ops/quant.py)
+    model_fn_q = jax.tree_util.Partial(
+        lambda p, xx, tt: unet_q.apply({"params": p}, xx, tt), params
+    )
+    prog = ReconProgram(
+        sched=sched, model_fn=model_fn_q, num_inference_steps=fp_steps,
+        inference_skip_factor=1, sampler="dpm",
+        num_groups=2 if QUICK else int(os.environ.get("BENCH_GROUPS", "16")),
+    )
+    k_fp = len(prog.t_starts)
+
+    def run_fp(key):
+        out = prog(x0, key)
+        return float(np.asarray(out[1]).sum())  # host fetch forces completion
+
+    run_fp(jax.random.PRNGKey(0))  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(reps):
+        run_fp(jax.random.PRNGKey(i))
+    fast_recons_per_sec = k_fp * BATCH / ((time.perf_counter() - t0) / reps)
+
+    print(
+        json.dumps(
+            {
+                "metric": "fast_path_reconstructions_per_sec_per_chip",
+                "value": round(fast_recons_per_sec, 2),
+                "unit": f"recons/s (batch {BATCH}, dpm@{fp_steps}/1 + int8, "
+                f"{jax.default_backend()})",
+                "vs_baseline": round(fast_recons_per_sec / seq_recons_per_sec, 3),
+            }
+        )
+    )
+    # headline LAST: the driver parses the final JSON line; the fast-path
+    # number also rides along as fields here so one parsed object carries both
     print(
         json.dumps(
             {
@@ -184,6 +226,8 @@ def main() -> None:
                 "unit": f"recons/s (batch {BATCH}, {STEPS}-step PLMS, skip {SKIP}, "
                 f"{jax.default_backend()})",
                 "vs_baseline": round(recons_per_sec / seq_recons_per_sec, 3),
+                "fast_path": f"dpm@{fp_steps}/1+int8",
+                "fast_path_value": round(fast_recons_per_sec, 2),
             }
         )
     )
