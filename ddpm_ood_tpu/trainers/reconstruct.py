@@ -66,13 +66,20 @@ class _CsvSink:
         if resume and self.partial.exists():
             try:
                 prev = pd.read_csv(self.partial)
-            except Exception:  # torn final line etc. — rescore from scratch
+                # a crash mid-write can leave a torn final line that still
+                # parses (short row -> NaNs): drop it so the image rescores
+                prev = prev.dropna()
+            except Exception:  # unparseable partial — rescore from scratch
                 prev = pd.DataFrame()
             if len(prev):
                 self.rows = prev.to_dict("records")
                 self._cols = list(prev.columns)
                 self._counts = prev["filename"].value_counts().to_dict()
                 self.resumed_rows = len(prev)
+            else:
+                # empty/corrupt partial: remove it so appends start fresh
+                # (with a header) instead of extending a torn file
+                self.partial.unlink()
         elif self.partial.exists():
             self.partial.unlink()  # stale partial from a non-resume run
 

@@ -161,6 +161,46 @@ def test_sink_partial_image_is_rescored(tmp_path):
     assert not final.duplicated(["filename", "type", "t"]).any()
 
 
+def test_sink_resume_from_corrupt_partial_starts_fresh(tmp_path):
+    """A partial the resume-read cannot use (unparseable, or only torn/NaN
+    rows) is removed so the rerun writes a fresh headered partial instead of
+    appending headerless rows to garbage; the pass completes normally."""
+    batches = [_batch(4, "a")]
+    K = len(_program().t_starts)
+
+    # unparseable bytes
+    partial = tmp_path / ".results_val.partial.csv"
+    partial.write_bytes(b"\x00\xffnot,a\ncsv\x00" * 3)
+    sink = _CsvSink(tmp_path, "val", resume=True)
+    assert sink.resumed_rows == 0 and not partial.exists()
+    Reconstruct.get_scores(_fake_recon(_Counting(_program())), batches,
+                           "val", 3, sink=sink)
+    sink.finalize()
+    final = pd.read_csv(tmp_path / "results_val.csv", index_col=0)
+    assert len(final) == 4 * K and not final.isna().any().any()
+
+    # a torn final line that still parses (short row -> NaN) is dropped, so
+    # the affected image rescores rather than surviving with a NaN metric
+    ok = _CsvSink(tmp_path / "t2", "val")
+    (tmp_path / "t2").mkdir()
+    Reconstruct.get_scores(_fake_recon(_Counting(_program())), batches,
+                           "val", 3, sink=ok)
+    p2 = tmp_path / "t2" / ".results_val.partial.csv"
+    txt = p2.read_text().splitlines()
+    torn = txt[:-1] + [txt[-1].rsplit(",", 2)[0]]  # chop trailing fields
+    p2.write_text("\n".join(torn) + "\n")
+    sink2 = _CsvSink(tmp_path / "t2", "val", resume=True)
+    assert sink2.resumed_rows == 4 * K - 1  # NaN row dropped
+    prog2 = _Counting(_program())
+    Reconstruct.get_scores(_fake_recon(prog2), batches, "val", 3, sink=sink2)
+    assert prog2.calls == 1  # the torn image's batch rescored
+    sink2.finalize()
+    final2 = pd.read_csv(tmp_path / "t2" / "results_val.csv", index_col=0)
+    assert len(final2) == 4 * K
+    assert not final2.isna().any().any()
+    assert not final2.duplicated(["filename", "type", "t"]).any()
+
+
 def test_non_resume_run_discards_stale_partial(tmp_path):
     """Without --resume a leftover partial must not leak rows into the run."""
     stale = tmp_path / ".results_val.partial.csv"
