@@ -89,7 +89,10 @@ class BaseTrainer:
                     ) if isinstance(cfg[key], (list, tuple)) else cfg[key]
             self.vqvae_model = VQVAE(**cfg, dtype=self.dtype)
             ckpt.check_numerics_version(vq_path.parent)
-            payload = ckpt.restore_checkpoint(vq_path)
+            # metadata-driven template: the VQVAE may have been trained on a
+            # different device count than this run (8-chip train -> 1-chip
+            # LDM/serve); see restore_checkpoint_replicated
+            payload = ckpt.restore_checkpoint_replicated(vq_path, self.mesh)
             self.vqvae_vars = {
                 "params": payload["model_state_dict"]["params"],
                 "ema": payload["model_state_dict"]["ema"],
@@ -190,9 +193,12 @@ class BaseTrainer:
                     f"--use_ema requested but checkpoint {path} has no "
                     f"ema_model_state_dict (was it trained with --ema_decay > 0?)"
                 )
-            if jax.process_count() > 1:
-                # multi-process restore needs concrete (replicated) shardings
-                template = ckpt.replicated_restore_template(self.mesh, template)
+            # ALWAYS restore through concrete replicated shardings over the
+            # current mesh: a plain numpy template replays the shardings the
+            # checkpoint was SAVED with and fails whenever the topology
+            # changed (multi-process runs, and 8-device train -> 1-chip
+            # reconstruct/serve restores)
+            template = ckpt.replicated_restore_template(self.mesh, template)
             payload = ckpt.restore_checkpoint(path, template)
             self.found_checkpoint = True
             self.start_epoch = int(payload["epoch"])
@@ -285,8 +291,8 @@ class BaseTrainer:
                 f"--use_ema requested but checkpoint {path} has no "
                 f"ema_model_state_dict"
             )
-        if jax.process_count() > 1:
-            template = ckpt.replicated_restore_template(self.mesh, template)
+        # topology-agnostic, as in __init__'s resume block
+        template = ckpt.replicated_restore_template(self.mesh, template)
         payload = ckpt.restore_checkpoint(path, template)
         new_params = (
             payload["ema_model_state_dict"] if self.use_ema

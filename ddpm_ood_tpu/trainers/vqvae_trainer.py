@@ -179,8 +179,11 @@ class VQVAETrainer:
                 "optimizer_g_state_dict": ckpt.to_host(self.g_state.opt_state),
                 "optimizer_d_state_dict": ckpt.to_host(self.d_state.opt_state),
             }
-            if jax.process_count() > 1:
-                template = ckpt.replicated_restore_template(self.mesh, template)
+            # ALWAYS restore through concrete replicated shardings over the
+            # current mesh — a plain numpy template replays the shardings the
+            # checkpoint was SAVED with and fails when the topology changed
+            # (see BaseTrainer.__init__'s resume block)
+            template = ckpt.replicated_restore_template(self.mesh, template)
             payload = ckpt.restore_checkpoint(path, template)
             self.start_epoch = int(payload["epoch"])
             self.global_step = int(payload["global_step"])

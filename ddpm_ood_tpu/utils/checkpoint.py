@@ -170,14 +170,18 @@ def to_host(tree):
 
 
 def replicated_restore_template(mesh, tree):
-    """Restore template for MULTI-PROCESS runs: array leaves become abstract
-    jax.ShapeDtypeStruct with a fully-replicated NamedSharding over `mesh`.
+    """Restore template that works on ANY topology: array leaves become
+    abstract jax.ShapeDtypeStruct with a fully-replicated NamedSharding over
+    the CURRENT `mesh`.
 
-    Orbax requires concrete shardings to deserialize arrays saved from a
-    multi-process run (a plain numpy template restores fine single-process but
-    fails multihost with "sharding ... Got None"); python scalars pass through
-    untouched so the reference's {epoch, global_step, best_loss} schema keys
-    restore as saved."""
+    Orbax requires concrete shardings to deserialize arrays whenever the
+    restoring process set differs from the saving one — multi-process runs,
+    but ALSO single-process restores on a different device count (train on an
+    8-device pod slice, reconstruct/serve on 1 chip): a plain numpy template
+    reads shardings from the checkpoint's sharding file and fails with
+    "sharding ... Got None" when those saved devices don't exist. Python
+    scalars pass through untouched so the reference's {epoch, global_step,
+    best_loss} schema keys restore as saved."""
     from jax.sharding import NamedSharding, PartitionSpec
 
     sharding = NamedSharding(mesh, PartitionSpec())
@@ -188,6 +192,45 @@ def replicated_restore_template(mesh, tree):
         return x
 
     return jax.tree_util.tree_map(leaf, tree)
+
+
+def restore_checkpoint_replicated(path: str | Path, mesh) -> Dict[str, Any]:
+    """Topology-agnostic TEMPLATE-LESS restore (the frozen-VQVAE reload path).
+
+    A checkpoint saved on N devices records per-array shardings; a plain
+    `restore_checkpoint(path)` replays those and fails on any other topology
+    ("Sharding ... Got None"). Here the abstract template is built from the
+    checkpoint's OWN metadata (shapes/dtypes — no caller-side tree needed),
+    with every array leaf fully replicated over the CURRENT `mesh`, so a
+    checkpoint trained on an 8-device pod slice restores on 1 serving chip
+    and vice versa. Non-array leaves (the reference's epoch/global_step/
+    best_loss scalars) pass their metadata through untouched, which Orbax
+    restores as saved. Falls back to the plain restore if the metadata API
+    is unavailable (older layouts restore fine without shardings anyway)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    path = Path(path).absolute()
+    ckptr = _checkpointer()
+    try:
+        meta = ckptr.metadata(path)
+        tree = getattr(meta, "item_metadata", None)
+        if tree is None:
+            tree = meta
+        if hasattr(tree, "keys"):
+            tree = dict(tree)
+        sharding = NamedSharding(mesh, PartitionSpec())
+
+        def leaf(m):
+            shape = getattr(m, "shape", None)
+            dtype = getattr(m, "dtype", None)
+            if shape is not None and dtype is not None:
+                return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+            return m
+
+        abstract = jax.tree_util.tree_map(leaf, tree)
+        return ckptr.restore(path, abstract)
+    except Exception:
+        return ckptr.restore(path)
 
 
 def save_config_json(run_dir: str | Path, name: str, config: Dict[str, Any]) -> Path:

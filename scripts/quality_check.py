@@ -153,10 +153,16 @@ def main() -> None:
     if args.pinned:
         # the pinned regression config: every knob fixed so round-over-round
         # files are directly diffable and a real drop is a red flag.
-        # n_eval=512 (r5, was 64): DeLong half-width scales ~1/sqrt(n) — 64
+        # n_eval=1024 (r5, was 64): DeLong half-width scales ~1/sqrt(n) — 64
         # images gave +-2.7 pts, far wider than the 0.5-pt parity bar; 512
-        # brings the half-width to ~1 pt so the gate can catch a 2-pt drop
-        # (VERDICT r4 #1). batch 32 keeps wall-clock flat on chip.
+        # measured +-1.32 pts on chip and 1024 brings it under the 1-pt
+        # target, so round-over-round the combined threshold is ~1.3 pts and
+        # a 2-pt real drop trips the gate (VERDICT r4 #1). Scoring runs at batch 32 to keep wall-clock flat
+        # on chip, but TRAINING stays at batch 8: with n_train=32 a batch-32
+        # train would be full-batch (80 steps instead of 320) and collapse
+        # the model — the first on-chip r5 run did exactly that and the gate
+        # tripped on the 0.97->0.51 drop (the intended fire drill, by
+        # accident). Training is bit-comparable to the r4 pin.
         args.epochs, args.size, args.n_train = 80, 16, 32
         args.steps, args.skip = 100, 4
         args.samplers = "plms,dpm@25/1,ddim@25/1"
@@ -164,7 +170,7 @@ def main() -> None:
         args.ema_decay = 0.0
         args.quantize = "none"
         args.elbo = args.ssim = False
-        args.near_freq, args.n_eval = 3.0, 512
+        args.near_freq, args.n_eval = 3.0, 1024
 
     from ddpm_ood_tpu.trainers import DDPMTrainer, Reconstruct
 
@@ -184,7 +190,7 @@ def main() -> None:
         prediction_type="epsilon", model_type="tiny",
         beta_schedule="scaled_linear_beta", beta_start=0.0015, beta_end=0.0195,
         b_scale=1.0, snr_shift=1, simplex_noise=int(args.simplex),
-        batch_size=32 if args.pinned else 8,
+        batch_size=8,
         n_epochs=args.epochs, eval_freq=10**9, augmentation=0, num_workers=2,
         cache_data=1, checkpoint_every=10**9, ddpm_checkpoint_epoch=None,
         is_grayscale=1, quick_test=0, profile_dir=None,
@@ -212,6 +218,8 @@ def main() -> None:
     per_sampler = {}
     for sampler, steps, skip, label, use_ema, quantize in variants:
         rargs = argparse.Namespace(**vars(ns))
+        if args.pinned:
+            rargs.batch_size = 32  # scoring-only batch bump (see pinned note)
         rargs.in_ids = in_csv
         rargs.out_ids = f"{out_csv},{near_csv}"
         rargs.first_n = None

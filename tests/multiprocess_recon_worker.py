@@ -19,14 +19,19 @@ import os
 import sys
 from pathlib import Path
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
-)
+# Run-as-script ONLY: env side effects on import would leak the 2-device flag
+# into any process importing a helper from this file (see train worker note).
+if __name__ == "__main__":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    )
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")  # axon ignores JAX_PLATFORMS env var
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")  # axon ignores JAX_PLATFORMS env
 
 
 def main() -> None:

@@ -26,14 +26,21 @@ import os
 import sys
 from pathlib import Path
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
-)
+# Run-as-script ONLY: mutating os.environ at import time leaked the 2-device
+# flag into the pytest process when test_multiprocess imported a helper from
+# this module — every LATER-spawned subprocess (recon-resume, serve-CLI e2e)
+# then came up with 2 devices and failed to restore 8-device checkpoints.
+if __name__ == "__main__":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    )
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")  # axon ignores JAX_PLATFORMS env var
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")  # axon ignores JAX_PLATFORMS env
 
 import numpy as np  # noqa: E402
 

@@ -1,5 +1,7 @@
 """Checkpoint save/restore/discovery with the reference's logical schema."""
 
+from pathlib import Path
+
 import numpy as np
 
 from ddpm_ood_tpu.utils import checkpoint as ckpt
@@ -40,6 +42,48 @@ def test_find_checkpoint_order(tmp_path):
     assert ckpt.find_checkpoint(tmp_path).name == "checkpoint"  # rolling wins
     assert ckpt.find_checkpoint(tmp_path, epoch=2).name == "checkpoint_2"
     assert ckpt.find_checkpoint(tmp_path, epoch=99) is None
+
+
+def test_cross_topology_restore(tmp_path):
+    """A checkpoint saved from DEVICE arrays on the 8-device mesh must restore
+    on a 1-device backend (train on a pod slice -> reconstruct/serve on one
+    chip). The trainers save live jax.Arrays (base.py:save_checkpoint), so the
+    checkpoint records the saving topology's shardings; both fixed restore
+    paths (restore_checkpoint_replicated, replicated_restore_template) rebuild
+    shardings over the CURRENT mesh instead of replaying the dead ones."""
+    import json
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ddpm_ood_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh()
+    w = jax.device_put(
+        jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        NamedSharding(mesh, PartitionSpec()),
+    )
+    ckpt.save_checkpoint(tmp_path, "checkpoint", {
+        "epoch": 7, "model_state_dict": {"w": w},
+    })
+    ckpt.wait_for_checkpoints()
+
+    out_json = tmp_path / "restored.json"
+    worker = Path(__file__).parent / "topology_restore_worker.py"
+    proc = subprocess.run(
+        [sys.executable, str(worker), str(tmp_path / "checkpoint"), str(out_json)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(out_json.read_text())
+    for path in ("templateless", "templated"):
+        assert out[path]["epoch"] == 7
+        np.testing.assert_array_equal(
+            np.asarray(out[path]["w"], np.float32), np.asarray(w)
+        )
 
 
 def test_config_json_roundtrip(tmp_path):
