@@ -293,8 +293,9 @@ def compare_quality(prev: dict, per_sampler: dict):
     """Regression rule (tightened r5, VERDICT r4 #1): a drop is flagged when
     it exceeds the COMBINED standard uncertainty of the two estimates —
     hypot(cur_half_width, old_half_width) — rather than the full current CI
-    width. At the pinned n_eval=512 both half-widths are ~1 pt, so the
-    threshold lands ~1.4 pts and a 2-pt real drop trips the gate (the old
+    width. At the pinned n_eval=1024 both half-widths are ~0.9 pt
+    (QUALITY_r05.json), so the threshold lands ~1.3 pts and a 2-pt real drop
+    trips the gate (the old
     full-width rule at n_eval=64 let ~5-pt drops through). Returns
     (printable lines, regression lines); unit-tested with injected drops in
     tests/test_quality_gate.py."""
